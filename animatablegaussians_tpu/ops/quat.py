@@ -1,0 +1,96 @@
+"""Quaternion utilities (w, x, y, z convention, matching pytorch3d.transforms
+as consumed by the reference at network/avatar.py:87-89).
+
+All functions are pure jnp, batched over leading axes, jit/vmap/grad friendly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+
+
+def quat_to_mat(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (..., 4) wxyz -> rotation matrix (..., 3, 3)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    two_s = 2.0 / jnp.sum(q * q, axis=-1)
+    m = jnp.stack([
+        1 - two_s * (y * y + z * z), two_s * (x * y - z * w), two_s * (x * z + y * w),
+        two_s * (x * y + z * w), 1 - two_s * (x * x + z * z), two_s * (y * z - x * w),
+        two_s * (x * z - y * w), two_s * (y * z + x * w), 1 - two_s * (x * x + y * y),
+    ], axis=-1)
+    return m.reshape(q.shape[:-1] + (3, 3))
+
+
+def mat_to_quat(m: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) -> unit quaternion (..., 4) wxyz.
+
+    Branch-free (differentiable a.e.) variant of the Shepperd method: compute
+    all four candidate quaternions and select the one keyed by the largest
+    diagonal combination, which is numerically stable for every rotation.
+    """
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+
+    # Four squared magnitudes (each >= 0, sum = 4).
+    qw2 = jnp.maximum(1.0 + m00 + m11 + m22, 0.0)
+    qx2 = jnp.maximum(1.0 + m00 - m11 - m22, 0.0)
+    qy2 = jnp.maximum(1.0 - m00 + m11 - m22, 0.0)
+    qz2 = jnp.maximum(1.0 - m00 - m11 + m22, 0.0)
+
+    eps = 1e-12
+    # Candidate quaternions, one per pivot.
+    cw = jnp.stack([qw2, m21 - m12, m02 - m20, m10 - m01], axis=-1)
+    cx = jnp.stack([m21 - m12, qx2, m01 + m10, m02 + m20], axis=-1)
+    cy = jnp.stack([m02 - m20, m01 + m10, qy2, m12 + m21], axis=-1)
+    cz = jnp.stack([m10 - m01, m02 + m20, m12 + m21, qz2], axis=-1)
+    mags = jnp.stack([qw2, qx2, qy2, qz2], axis=-1)
+    cands = jnp.stack([cw, cx, cy, cz], axis=-2)  # (..., 4 pivots, 4)
+    denom = 2.0 * jnp.sqrt(jnp.maximum(mags, eps))[..., None]
+    cands = cands / denom
+
+    best = jnp.argmax(mags, axis=-1)
+    q = jnp.take_along_axis(cands, best[..., None, None].repeat(4, axis=-1), axis=-2)
+    q = q[..., 0, :]
+    # Canonical sign: w >= 0 (matches pytorch3d's standardize).
+    q = jnp.where(q[..., 0:1] < 0, -q, q)
+    return normalize(q)
+
+
+def quat_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], axis=-1)
+
+
+def axis_angle_to_mat(aa: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Axis-angle (..., 3) -> rotation matrix (..., 3, 3) (Rodrigues)."""
+    angle = jnp.linalg.norm(aa, axis=-1, keepdims=True)
+    axis = aa / jnp.maximum(angle, eps)
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    s = jnp.sin(angle[..., 0])
+    c = jnp.cos(angle[..., 0])
+    C = 1.0 - c
+    m = jnp.stack([
+        x * x * C + c, x * y * C - z * s, x * z * C + y * s,
+        y * x * C + z * s, y * y * C + c, y * z * C - x * s,
+        z * x * C - y * s, z * y * C + x * s, z * z * C + c,
+    ], axis=-1)
+    return m.reshape(aa.shape[:-1] + (3, 3))
+
+
+def rotate_vec(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate vectors v (..., 3) by unit quaternions q (..., 4)."""
+    qvec = q[..., 1:]
+    uv = jnp.cross(qvec, v)
+    uuv = jnp.cross(qvec, uv)
+    return v + 2.0 * (q[..., 0:1] * uv + uuv)
