@@ -1,0 +1,311 @@
+"""AvatarNet: pose map -> Gaussian maps -> LBS skin -> splat.
+
+Functional re-design of the reference avatar model (ref: network/avatar.py:16-239):
+
+  * canonical geometry from the baked position map: masked texels are the
+    (fixed) Gaussian point set; per-point LBS weights from init_pts_lbs.npy;
+  * three DualStyleUNet heads on the 512^2 front pose map: position offsets
+    (x0.05), `other` (opacity 1 + scale 3 + rot 4 added to the raw canonical
+    Gaussian params before activation), color;
+  * optional view-direction conditioning: per-point normal.viewdir rendered
+    into the canonical map, encoded by a small conv net, injected into the
+    color decoders at the 256^2 feature level;
+  * LBS to the live pose via per-point blended joint affines, then the
+    Pallas splatting pipeline.
+
+JAX specifics: masked texel selection uses precomputed static index arrays
+(shapes stay static under jit); parameters are a plain dict pytree.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from animatablegaussians_tpu.models import styleunet as su
+from animatablegaussians_tpu.models.gaussian_model import (GaussianParams,
+                                                           create_from_pcd)
+from animatablegaussians_tpu.ops import quat as quat_ops
+from animatablegaussians_tpu.ops.rasterize import RasterizeConfig, render
+from animatablegaussians_tpu.utils.geometry import normalize_vert_bbox
+
+
+class AvatarNet:
+    """Static configuration + canonical buffers; parameters are pytrees."""
+
+    def __init__(self, opt, cano_smpl_map: np.ndarray,
+                 init_pts_lbs: np.ndarray,
+                 cano_nml_map: Optional[np.ndarray] = None,
+                 map_size: int = 1024,
+                 raster_config: RasterizeConfig = RasterizeConfig()):
+        """cano_smpl_map: (H, 2H, 3) canonical position map (front|back);
+        init_pts_lbs: (N, J) per-point LBS weights."""
+        opt = dict(opt or {})
+        self.random_style = opt.get("random_style", False)
+        self.with_viewdirs = opt.get("with_viewdirs", True)
+        self.weight_viewdirs = float(opt.get("weight_viewdirs", 1.0))
+        self.raster_config = raster_config
+        self.max_sh_degree = 0
+
+        self.map_h, self.map_w = cano_smpl_map.shape[:2]
+        self.inp_size = self.map_h // 2          # CNN input res (512)
+        self.out_size = map_size                 # CNN output res (1024)
+
+        self.cano_smpl_map = jnp.asarray(cano_smpl_map, jnp.float32)
+        mask = np.linalg.norm(np.asarray(cano_smpl_map), axis=-1) > 0.0
+        self.cano_smpl_mask = mask
+        iy, ix = np.nonzero(mask)
+        self.mask_iy = jnp.asarray(iy, jnp.int32)   # (N,) static gather idx
+        self.mask_ix = jnp.asarray(ix, jnp.int32)
+        self.n_points = int(iy.shape[0])
+        self.init_points = self.cano_smpl_map[self.mask_iy, self.mask_ix]
+        self.lbs = jnp.asarray(init_pts_lbs, jnp.float32)  # (N, J)
+
+        if self.with_viewdirs:
+            assert cano_nml_map is not None
+            self.cano_nml_map = jnp.asarray(cano_nml_map, jnp.float32)
+            self.cano_nmls = self.cano_nml_map[self.mask_iy, self.mask_ix]
+
+        kw = dict(inp_size=self.inp_size, inp_ch=3, out_size=self.out_size,
+                  style_dim=512, n_mlp=2,
+                  channel_max=int(opt.get("channel_max", 512)))
+        self.color_net = su.DualStyleUNet(out_ch=3, **kw)
+        self.position_net = su.DualStyleUNet(out_ch=3, **kw)
+        self.other_net = su.DualStyleUNet(out_ch=8, **kw)
+        self.style_dim = 512
+
+    # ------------------------------------------------------------------
+    def init(self, key) -> dict:
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        params = {
+            "color_net": self.color_net.init(k1),
+            "position_net": self.position_net.init(k2),
+            "other_net": self.other_net.init(k3),
+            "cano_gaussian": create_from_pcd(
+                self.init_points,
+                jax.random.uniform(k4, (self.n_points, 3)),
+                sh_degree=self.max_sh_degree),
+        }
+        if self.with_viewdirs:
+            kv1, kv2 = jax.random.split(k4)
+            lim1 = 1.0 / math.sqrt(1 * 16)
+            lim2 = 1.0 / math.sqrt(64 * 16)
+            params["viewdir_net"] = dict(
+                conv1=dict(weight=jax.random.uniform(
+                    kv1, (4, 4, 1, 64), jnp.float32, -lim1, lim1),
+                    bias=jnp.zeros((64,))),
+                conv2=dict(weight=jax.random.uniform(
+                    kv2, (4, 4, 64, 128), jnp.float32, -lim2, lim2),
+                    bias=jnp.zeros((128,))),
+            )
+        return params
+
+    def constant_style(self) -> jnp.ndarray:
+        return jnp.ones((1, self.style_dim)) / math.sqrt(self.style_dim)
+
+    # -- map <-> point-set plumbing ------------------------------------
+    def _select_masked(self, full_map: jnp.ndarray) -> jnp.ndarray:
+        """(H, 2H, C) -> (N, C) at the canonical mask texels."""
+        return full_map[self.mask_iy, self.mask_ix]
+
+    def _scatter_masked(self, vals: jnp.ndarray, channels: int = 0):
+        shape = ((self.map_h, self.map_w) if channels == 0 else
+                 (self.map_h, self.map_w, channels))
+        return jnp.zeros(shape, jnp.float32).at[self.mask_iy,
+                                                self.mask_ix].set(vals)
+
+    def _net_out_to_map(self, out: jnp.ndarray, out_ch: int) -> jnp.ndarray:
+        """CNN output (1, S, S, 2C) -> (S, 2S, C) front|back map."""
+        front, back = out[0, :, :, :out_ch], out[0, :, :, out_ch:]
+        return jnp.concatenate([front, back], axis=1)
+
+    # -- heads (ref: avatar.py:93-147) ----------------------------------
+    def get_positions(self, params, pose_map, return_map=False):
+        out = self.position_net.apply(params["position_net"],
+                                      self.constant_style(), pose_map[None])
+        position_map = self._net_out_to_map(out, 3)
+        delta = 0.05 * self._select_masked(position_map)
+        positions = delta + params["cano_gaussian"].get_xyz
+        if return_map:
+            return positions, position_map
+        return positions
+
+    def get_others(self, params, pose_map):
+        out = self.other_net.apply(params["other_net"],
+                                   self.constant_style(), pose_map[None])
+        others = self._select_masked(self._net_out_to_map(out, 8))  # (N, 8)
+        g: GaussianParams = params["cano_gaussian"]
+        opacity = jax.nn.sigmoid(others[:, 0:1] + g.opacity)
+        scales = jnp.exp(others[:, 1:4] + g.scaling)
+        rotations = quat_ops.normalize(others[:, 4:8] + g.rotation)
+        return opacity, scales, rotations
+
+    def get_colors(self, params, pose_map, front_viewdirs=None,
+                   back_viewdirs=None, style=None):
+        style = self.constant_style() if style is None else style
+        out = self.color_net.apply(params["color_net"], style, pose_map[None],
+                                   view_feature1=front_viewdirs,
+                                   view_feature2=back_viewdirs)
+        color_map = self._net_out_to_map(out, 3)
+        return self._select_masked(color_map), color_map
+
+    def get_viewdir_feat(self, params, items, rng=None):
+        """normal.viewdir scalar map -> conv features (ref: avatar.py:126-147)."""
+        mats = items["cano2live_jnt_mats"]
+        pt_mats = jnp.einsum("nj,jxy->nxy", self.lbs, mats)
+        pt_mats = jax.lax.stop_gradient(pt_mats)
+        live_pts = (jnp.einsum("nxy,ny->nx", pt_mats[:, :3, :3],
+                               self.init_points) + pt_mats[:, :3, 3])
+        live_nmls = jnp.einsum("nxy,ny->nx", pt_mats[:, :3, :3],
+                               self.cano_nmls)
+        extr = items["extr"]
+        cam_pos = -extr[:3, :3].T @ extr[:3, 3]
+        viewdirs = cam_pos[None] - live_pts
+        viewdirs = viewdirs / jnp.maximum(
+            jnp.linalg.norm(viewdirs, axis=-1, keepdims=True), 1e-3)
+        if rng is not None:  # training-time direction jitter
+            viewdirs = viewdirs + 0.1 * jax.random.normal(rng, viewdirs.shape)
+            viewdirs = viewdirs / jnp.maximum(
+                jnp.linalg.norm(viewdirs, axis=-1, keepdims=True), 1e-3)
+        dots = jnp.sum(live_nmls * viewdirs, axis=-1)
+
+        vmap_full = self._scatter_masked(dots)                 # (H, 2H)
+        vmap = vmap_full[::2, ::2]                             # nearest x0.5
+        half = vmap.shape[1] // 2
+        front, back = vmap[:, :half], vmap[:, half:]
+
+        p = params["viewdir_net"]
+
+        def encode(v):
+            x = v[None, :, :, None]
+            x = su.conv2d(x, p["conv1"]["weight"], stride=2, padding=1)
+            x = x + p["conv1"]["bias"]
+            x = jnp.where(x >= 0, x, 0.2 * x)
+            x = su.conv2d(x, p["conv2"]["weight"], stride=2, padding=1)
+            x = x + p["conv2"]["bias"]
+            return x
+
+        w = self.weight_viewdirs
+        return w * encode(front), w * encode(back)
+
+    # -- skinning (ref: avatar.py:84-91) ---------------------------------
+    def transform_cano2live(self, gaussian_vals: dict, items: dict) -> dict:
+        pt_mats = jnp.einsum("nj,jxy->nxy", self.lbs,
+                             items["cano2live_jnt_mats"])
+        positions = (jnp.einsum("nxy,ny->nx", pt_mats[:, :3, :3],
+                                gaussian_vals["positions"])
+                     + pt_mats[:, :3, 3])
+        rot_mats = quat_ops.quat_to_mat(gaussian_vals["rotations"])
+        rot_mats = jnp.einsum("nxy,nyz->nxz", pt_mats[:, :3, :3], rot_mats)
+        out = dict(gaussian_vals)
+        out["positions"] = positions
+        out["rotations"] = quat_ops.mat_to_quat(rot_mats)
+        return out
+
+    # -- pose-map regeneration for novel poses (ref: avatar.py:149-159) --
+    def get_pose_map(self, items: dict) -> jnp.ndarray:
+        pt_mats = jnp.einsum("nj,jxy->nxy", self.lbs,
+                             items["cano2live_jnt_mats_woRoot"])
+        live_pts = (jnp.einsum("nxy,ny->nx", pt_mats[:, :3, :3],
+                               self.init_points) + pt_mats[:, :3, 3])
+        live_map = self._scatter_masked(live_pts, channels=3)  # (H, 2H, 3)
+        live_map = live_map[::2, ::2]                          # (S, 2S, 3)
+        half = live_map.shape[1] // 2
+        return jnp.concatenate([live_map[:, :half], live_map[:, half:]],
+                               axis=-1)                        # (S, S, 6)
+
+    # -- mean-hand freeze (ref: avatar.py:52-82,183-200) ------------------
+    def hand_mask(self) -> np.ndarray:
+        lbs_argmax = np.asarray(jnp.argmax(self.lbs, axis=1))
+        return (lbs_argmax == 20) | (lbs_argmax == 21) | (lbs_argmax >= 25)
+
+    def generate_mean_hands(self, params, pose_map):
+        cano_pts = self.get_positions(params, pose_map)
+        opacity, scales, rotations = self.get_others(params, pose_map)
+        colors, _ = self.get_colors(params, pose_map)
+        return dict(positions=cano_pts, opacity=opacity, scales=scales,
+                    rotations=rotations, colors=colors)
+
+    def blend_mean_hands(self, hand_vals, cano_pts, opacity, scales,
+                         rotations, items):
+        cano_xyz = self.init_points
+        wl = jax.nn.sigmoid(2.5 * (normalize_vert_bbox(
+            items["left_cano_mano_v"], attris=cano_xyz, dim=0,
+            per_axis=True)[:, 0:1] + 2.0))
+        wr = jax.nn.sigmoid(-2.5 * (normalize_vert_bbox(
+            items["right_cano_mano_v"], attris=cano_xyz, dim=0,
+            per_axis=True)[:, 0:1] - 2.0))
+        below = cano_xyz[:, 1] < items["cano_smpl_center"][1]
+        wl = jnp.where(below[:, None], 0.0, wl)
+        wr = jnp.where(below[:, None], 0.0, wr)
+        s = jnp.maximum(wl + wr, 1.0)
+        wl, wr = wl / s, wr / s
+        w = wl + wr
+        return (w * hand_vals["positions"] + (1 - w) * cano_pts,
+                w * hand_vals["opacity"] + (1 - w) * opacity,
+                w * hand_vals["scales"] + (1 - w) * scales,
+                w * hand_vals["rotations"] + (1 - w) * rotations)
+
+    # -- full render (ref: avatar.py:161-239) -----------------------------
+    def render(self, params, items, bg_color=(0.0, 0.0, 0.0),
+               use_pca: bool = False, training: bool = False,
+               rng: Optional[jax.Array] = None,
+               hand_vals: Optional[dict] = None,
+               img_w: Optional[int] = None,
+               img_h: Optional[int] = None) -> dict:
+        bg = jnp.asarray(bg_color, jnp.float32)
+        key = "smpl_pos_map_pca" if use_pca else "smpl_pos_map"
+        pose_map = items[key][..., :3]                         # (S, S, 3)
+
+        cano_pts, pos_map = self.get_positions(params, pose_map,
+                                               return_map=True)
+        opacity, scales, rotations = self.get_others(params, pose_map)
+
+        if self.with_viewdirs:
+            vd_rng = None
+            if training and rng is not None:
+                rng, vd_rng = jax.random.split(rng)
+            front_vd, back_vd = self.get_viewdir_feat(params, items, vd_rng)
+        else:
+            front_vd = back_vd = None
+
+        style = None
+        if self.random_style and training and rng is not None:
+            style = jax.random.uniform(rng, (1, self.style_dim))
+        colors, color_map = self.get_colors(params, pose_map, front_vd,
+                                            back_vd, style)
+
+        if hand_vals is not None:
+            cano_pts, opacity, scales, rotations = self.blend_mean_hands(
+                hand_vals, cano_pts, opacity, scales, rotations, items)
+
+        gaussian_vals = dict(positions=cano_pts, opacity=opacity,
+                             scales=scales, rotations=rotations,
+                             colors=colors,
+                             max_sh_degree=self.max_sh_degree)
+        nonrigid_offset = cano_pts - self.init_points
+        gaussian_vals = self.transform_cano2live(gaussian_vals, items)
+
+        # image size must be static under jit; allow override, else items
+        # must carry plain Python ints.
+        img_w = int(items["img_w"]) if img_w is None else img_w
+        img_h = int(items["img_h"]) if img_h is None else img_h
+        out = render(gaussian_vals["positions"], gaussian_vals["scales"],
+                     gaussian_vals["rotations"],
+                     gaussian_vals["opacity"].reshape(-1),
+                     gaussian_vals["colors"], bg,
+                     items["extr"], items["intr"],
+                     img_w, img_h,
+                     config=self.raster_config)
+
+        ret = dict(rgb_map=out["render"], mask_map=out["mask"],
+                   depth_map=out["depth"], offset=nonrigid_offset,
+                   pos_map=pos_map)
+        if not training:
+            ret.update(cano_tex_map=color_map, posed_gaussians=gaussian_vals)
+        return ret

@@ -1,0 +1,2 @@
+from .body_model import SMPLX, SMPLXData
+from .lbs import lbs, blend_shapes, vertices2joints, batch_rigid_transform

@@ -1,0 +1,393 @@
+"""DualStyleUNet: pose-map -> dual (front/back) Gaussian-map CNN.
+
+Re-implementation of the reference StyleGAN2-based U-Net (ref:
+network/styleunet/dual_styleunet.py:636-910) as functional JAX/XLA:
+
+  * encoder: conv_in + cascade of FromRGB(downsample, no wavelet) + ConvBlock
+    down to 8x8 (ref: dual_styleunet.py:686-701, 852-862);
+  * two independent StyleGAN2 decoders (modulated convs + fixed noise +
+    fused leaky-relu) with wavelet-domain ToRGB skip chains, fed encoder
+    features through comb_convs (ref: dual_styleunet.py:709-767, 867-906);
+  * final inverse Haar transform to pixel space; outputs concat [front, back]
+    maps along channels.
+
+TPU-first design choices: NHWC layout, per-sample modulated weights via vmap
+(XLA batches the grouped-conv trick away; ref: dual_styleunet.py:256-300),
+upfirdn2d as dilated depthwise convs, bias+leaky-relu left to XLA fusion.
+Parameters are plain nested dicts -> torch-checkpoint import is a name map
+(see training/torch_import.py).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from animatablegaussians_tpu.ops.upfirdn2d import (
+    blur, downsample, fused_leaky_relu, haar_transform,
+    inverse_haar_transform, make_kernel, upfirdn2d, upsample)
+
+BLUR_KERNEL = (1, 3, 3, 1)
+
+# Conv precision: "highest" for checkpoint-parity paths; switchable to
+# "default" (bf16 passes on MXU) for training throughput.
+CONV_PRECISION = "highest"
+
+
+def set_conv_precision(p: str):
+    global CONV_PRECISION
+    CONV_PRECISION = p
+
+
+def _prec():
+    return (jax.lax.Precision.HIGHEST if CONV_PRECISION == "highest"
+            else jax.lax.Precision.DEFAULT)
+
+
+def conv2d(x, w, stride=1, padding=0):
+    """NHWC x HWIO correlation, matching torch.conv2d semantics."""
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_prec())
+
+
+def conv_transpose2d(x, w, stride=2):
+    """torch.conv_transpose2d(stride, padding=0) with w in IOHW->HWIO form.
+
+    Implemented as input-dilated correlation with the spatially flipped
+    kernel (exact gradient-of-conv semantics).
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    w_flip = jnp.flip(w, (0, 1))
+    return jax.lax.conv_general_dilated(
+        x, w_flip, (1, 1),
+        padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_prec())
+
+
+# ---------------------------------------------------------------------------
+# layers (init returns param dicts; apply are pure functions)
+# ---------------------------------------------------------------------------
+
+def pixel_norm(x, eps=1e-8):
+    return x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+
+
+def equal_linear_init(key, in_dim, out_dim, bias_init=0.0, lr_mul=1.0):
+    w = jax.random.normal(key, (in_dim, out_dim), jnp.float32) / lr_mul
+    return dict(weight=w, bias=jnp.full((out_dim,), bias_init, jnp.float32))
+
+
+def equal_linear(p, x, lr_mul=1.0, activation=False):
+    scale = (1.0 / math.sqrt(p["weight"].shape[0])) * lr_mul
+    out = jnp.dot(x, p["weight"] * scale, precision=_prec())
+    if activation:
+        return fused_leaky_relu(out, p["bias"] * lr_mul)
+    return out + p["bias"] * lr_mul
+
+
+def equal_conv2d_init(key, in_ch, out_ch, k, bias=True):
+    w = jax.random.normal(key, (k, k, in_ch, out_ch), jnp.float32)
+    p = dict(weight=w)
+    if bias:
+        p["bias"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
+
+
+def equal_conv2d(p, x, stride=1, padding=0):
+    k, _, in_ch, _ = p["weight"].shape
+    scale = 1.0 / math.sqrt(in_ch * k * k)
+    out = conv2d(x, p["weight"] * scale, stride, padding)
+    if "bias" in p:
+        out = out + p["bias"]
+    return out
+
+
+def conv_layer_init(key, in_ch, out_ch, k, downsample_=False, activate=True,
+                    bias=True):
+    kc, kb = jax.random.split(key)
+    p = dict(conv=equal_conv2d_init(kc, in_ch, out_ch, k,
+                                    bias=bias and not activate))
+    if activate:
+        p["act_bias"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
+
+
+def conv_layer(p, x, k, downsample_=False, activate=True):
+    """ConvLayer (ref: dual_styleunet.py:329-371)."""
+    if downsample_:
+        kern = make_kernel(BLUR_KERNEL)
+        pd = (len(BLUR_KERNEL) - 2) + (k - 1)
+        x = blur(x, kern, pad=((pd + 1) // 2, pd // 2))
+        out = equal_conv2d(p["conv"], x, stride=2, padding=0)
+    else:
+        out = equal_conv2d(p["conv"], x, stride=1, padding=k // 2)
+    if activate:
+        out = fused_leaky_relu(out, p["act_bias"])
+    return out
+
+
+def conv_block_init(key, in_ch, out_ch):
+    k1, k2 = jax.random.split(key)
+    return dict(conv1=conv_layer_init(k1, in_ch, in_ch, 3),
+                conv2=conv_layer_init(k2, in_ch, out_ch, 3, downsample_=True))
+
+
+def conv_block(p, x):
+    x = conv_layer(p["conv1"], x, 3)
+    return conv_layer(p["conv2"], x, 3, downsample_=True)
+
+
+def modulated_conv2d_init(key, in_ch, out_ch, k, style_dim, demodulate=True):
+    kw, km = jax.random.split(key)
+    return dict(
+        weight=jax.random.normal(kw, (k, k, in_ch, out_ch), jnp.float32),
+        modulation=equal_linear_init(km, style_dim, in_ch, bias_init=1.0),
+    )
+
+
+def modulated_conv2d(p, x, style, demodulate=True, up=False):
+    """Style-modulated conv (ref: dual_styleunet.py:168-300). Per-sample
+    weights via vmap — no grouped-conv reshaping needed."""
+    k, _, in_ch, out_ch = p["weight"].shape
+    scale = 1.0 / math.sqrt(in_ch * k * k)
+    s = equal_linear(p["modulation"], style)              # (B, in_ch)
+
+    def per_sample(xi, si):
+        w = scale * p["weight"] * si[None, None, :, None]  # (k,k,in,out)
+        if demodulate:
+            demod = jax.lax.rsqrt(jnp.sum(w * w, axis=(0, 1, 2)) + 1e-8)
+            w = w * demod[None, None, None, :]
+        xi = xi[None]
+        if up:
+            out = conv_transpose2d(xi, w, stride=2)
+            out = blur(out, make_kernel(BLUR_KERNEL) * 4.0, pad=_up_blur_pad(k))
+        else:
+            out = conv2d(xi, w, padding=k // 2)
+        return out[0]
+
+    return jax.vmap(per_sample)(x, s)
+
+
+def _up_blur_pad(k):
+    p = (len(BLUR_KERNEL) - 2) - (k - 1)
+    return ((p + 1) // 2 + 1, p // 2 + 1)
+
+
+def styled_conv_init(key, in_ch, out_ch, k, style_dim):
+    kc, = jax.random.split(key, 1)
+    return dict(
+        conv=modulated_conv2d_init(kc, in_ch, out_ch, k, style_dim),
+        noise_weight=jnp.zeros((), jnp.float32),
+        act_bias=jnp.zeros((out_ch,), jnp.float32),
+    )
+
+
+def styled_conv(p, x, style, noise, up=False):
+    out = modulated_conv2d(p["conv"], x, style, demodulate=True, up=up)
+    if noise is not None:
+        out = out + p["noise_weight"] * noise
+    return fused_leaky_relu(out, p["act_bias"])
+
+
+def to_rgb_init(key, in_ch, style_dim, out_ch):
+    return dict(
+        conv=modulated_conv2d_init(key, in_ch, out_ch, 1, style_dim,
+                                   demodulate=False),
+        bias=jnp.zeros((out_ch,), jnp.float32),
+    )
+
+
+def to_rgb(p, x, style, skip=None):
+    out = modulated_conv2d(p["conv"], x, style, demodulate=False) + p["bias"]
+    if skip is not None:
+        kern = make_kernel(BLUR_KERNEL)
+        skip = inverse_haar_transform(skip)
+        skip = upsample(skip, kern)
+        skip = haar_transform(skip)
+        out = out + skip
+    return out
+
+
+def from_rgb_apply(p, img, skip):
+    """FromRGB with downsample=True, use_wt=False (encoder variant,
+    ref: dual_styleunet.py:442-470)."""
+    img = downsample(img, make_kernel(BLUR_KERNEL))
+    out = conv_layer(p["conv"], img, 1)
+    if skip is not None:
+        out = out + skip
+    return img, out
+
+
+# ---------------------------------------------------------------------------
+# DualStyleUNet
+# ---------------------------------------------------------------------------
+
+def _channels(mult: int) -> Dict[int, int]:
+    return {4: 512, 8: 512, 16: 512, 32: 512, 64: 256 * mult,
+            128: 128 * mult, 256: 64 * mult, 512: 32 * mult,
+            1024: 16 * mult, 2048: 16 * mult, 4096: 16 * mult}
+
+
+class DualStyleUNet:
+    def __init__(self, inp_size: int, inp_ch: int, out_ch: int, out_size: int,
+                 style_dim: int, n_mlp: int, middle_size: int = 8,
+                 channel_multiplier: int = 2, lr_mlp: float = 0.01,
+                 channel_max: int = 512):
+        self.inp_size = inp_size
+        self.inp_ch = inp_ch
+        self.out_ch = out_ch
+        self.out_size = out_size
+        self.style_dim = style_dim
+        self.n_mlp = n_mlp
+        self.lr_mlp = lr_mlp
+        self.middle_log_size = int(math.log2(middle_size))
+        self.log_size = int(math.log2(out_size)) - 1
+        # the encoder must emit at least one stage reaching middle_size so
+        # the final comb_conv exists (same constraint as the reference
+        # schedule, dual_styleunet.py:692-701)
+        assert inp_size >= 4 * middle_size, \
+            f"inp_size {inp_size} must be >= {4 * middle_size}"
+        # channel_max < 512 shrinks the net uniformly (tests / dryruns on
+        # weak hosts); 512 == the reference schedule exactly
+        self.channels = {k: min(v, channel_max)
+                         for k, v in _channels(channel_multiplier).items()}
+
+        # encoder channel schedule
+        self.enc_in = self.channels[inp_size // 2]
+        self.enc_stages = []  # (in_ch, out_ch) for FromRGB/ConvBlock pairs
+        in_ch = self.enc_in
+        for i in range(int(math.log2(inp_size)) - 2, self.middle_log_size - 1, -1):
+            out_c = self.channels[2 ** i]
+            self.enc_stages.append((in_ch, out_c, i))
+            in_ch = out_c
+
+        # decoder stage schedule
+        self.dec_stages = []  # (in_ch, out_ch)
+        in_ch = self.channels[middle_size]
+        for i in range(self.middle_log_size + 1, self.log_size + 1):
+            out_c = self.channels[2 ** i]
+            self.dec_stages.append((in_ch, out_c))
+            in_ch = out_c
+        self.num_layers = (self.log_size - self.middle_log_size) * 2
+        self.n_latent = self.log_size * 2 - (self.middle_log_size * 2 - 1) + 1
+
+    # -- init ---------------------------------------------------------------
+    def init(self, key) -> dict:
+        keys = iter(jax.random.split(key, 256))
+        nk = lambda: next(keys)
+        p: dict = {}
+
+        p["style"] = [equal_linear_init(nk(), self.style_dim, self.style_dim,
+                                        lr_mul=self.lr_mlp)
+                      for _ in range(self.n_mlp)]
+
+        p["conv_in"] = conv_layer_init(nk(), self.inp_ch, self.enc_in, 3,
+                                       downsample_=True)
+        p["from_rgbs"] = []
+        p["cond_convs"] = []
+        p["comb_convs"] = [conv_layer_init(nk(), self.enc_in * 2,
+                                           self.enc_in, 3)]
+        for (in_ch, out_c, i) in self.enc_stages:
+            p["from_rgbs"].append(
+                dict(conv=conv_layer_init(nk(), self.inp_ch, in_ch, 1)))
+            p["cond_convs"].append(conv_block_init(nk(), in_ch, out_c))
+            if i > self.middle_log_size:
+                p["comb_convs"].append(conv_layer_init(nk(), out_c * 2, out_c, 3))
+            else:
+                p["comb_convs"].append(conv_layer_init(nk(), out_c, out_c, 3))
+
+        for branch in ("1", "2"):
+            convs, rgbs = [], []
+            for (in_ch, out_c) in self.dec_stages:
+                convs.append(styled_conv_init(nk(), in_ch, out_c, 3,
+                                              self.style_dim))
+                convs.append(styled_conv_init(nk(), out_c, out_c, 3,
+                                              self.style_dim))
+                rgbs.append(to_rgb_init(nk(), out_c, self.style_dim,
+                                        self.out_ch * 4))
+            p[f"convs{branch}"] = convs
+            p[f"to_rgbs{branch}"] = rgbs
+
+        # fixed noise buffers (ref: dual_styleunet.py:717-721)
+        noises = []
+        for layer_idx in range(self.num_layers):
+            res = (layer_idx + 2 * (self.middle_log_size + 1)) // 2
+            noises.append(jax.random.normal(nk(), (1, 2 ** res, 2 ** res, 1)))
+        p["noises"] = noises
+        return p
+
+    # -- forward ------------------------------------------------------------
+    def apply(self, p: dict, style: jnp.ndarray, cond_img: jnp.ndarray,
+              view_feature1: Optional[jnp.ndarray] = None,
+              view_feature2: Optional[jnp.ndarray] = None,
+              noise: Optional[List] = None,
+              randomize_noise: bool = False,
+              rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """style: (B, style_dim); cond_img: (B, inp_size, inp_size, inp_ch)
+        NHWC. Returns (B, out_size, out_size, 2*out_ch): [front, back]."""
+        latent = style
+        for lp in p["style"]:
+            if lp is p["style"][0]:
+                latent = pixel_norm(latent)
+            latent = equal_linear(lp, latent, lr_mul=self.lr_mlp,
+                                  activation=True)
+
+        if noise is None:
+            if randomize_noise:
+                assert rng is not None
+                rngs = jax.random.split(rng, self.num_layers)
+                noise = [
+                    jax.random.normal(rngs[i],
+                                      (cond_img.shape[0],) + tuple(
+                                          p["noises"][i].shape[1:]))
+                    for i in range(self.num_layers)]
+            else:
+                noise = p["noises"]
+
+        # encoder
+        cond_img_cur = cond_img
+        cond_out = conv_layer(p["conv_in"], cond_img, 3, downsample_=True)
+        cond_list = [cond_out]
+        for frgb, cblock in zip(p["from_rgbs"], p["cond_convs"]):
+            cond_img_cur, cond_out = from_rgb_apply(frgb, cond_img_cur,
+                                                    cond_out)
+            cond_out = conv_block(cblock, cond_out)
+            cond_list.append(cond_out)
+
+        def decode(convs, rgbs, view_feature):
+            out = None
+            skip = None
+            i = 0
+            n_comb = len(p["comb_convs"])
+            for stage, ((c1, c2), rgb) in enumerate(
+                    zip(zip(convs[::2], convs[1::2]), rgbs)):
+                if i == 0:
+                    out = conv_layer(p["comb_convs"][-1], cond_list[-1], 3)
+                elif i < 2 * n_comb:
+                    out = jnp.concatenate(
+                        [out, cond_list[-1 - (i // 2)]], axis=-1)
+                    out = conv_layer(p["comb_convs"][-1 - (i // 2)], out, 3)
+                out = styled_conv(c1, out, latent, noise[i], up=True)
+                out = styled_conv(c2, out, latent, noise[i + 1])
+                skip = to_rgb(rgb, out, latent, skip)
+                if view_feature is not None and i == 8:
+                    vf = jax.image.resize(
+                        view_feature,
+                        (view_feature.shape[0], out.shape[1], out.shape[2],
+                         view_feature.shape[3]), method="bilinear")
+                    out = out + vf
+                i += 2
+            return inverse_haar_transform(skip)
+
+        image1 = decode(p["convs1"], p["to_rgbs1"], view_feature1)
+        image2 = decode(p["convs2"], p["to_rgbs2"], view_feature2)
+        return jnp.concatenate([image1, image2], axis=-1)

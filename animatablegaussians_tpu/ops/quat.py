@@ -94,3 +94,14 @@ def rotate_vec(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     uv = jnp.cross(qvec, v)
     uuv = jnp.cross(qvec, uv)
     return v + 2.0 * (q[..., 0:1] * uv + uuv)
+
+
+def axis_angle_to_quat(aa: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Axis-angle (..., 3) -> unit quaternion (..., 4) wxyz."""
+    angle = jnp.linalg.norm(aa, axis=-1, keepdims=True)
+    half = 0.5 * angle
+    # sin(x)/x -> 1 as x -> 0; use the stable small-angle series
+    small = angle < eps
+    k = jnp.where(small, 0.5 - angle * angle / 48.0,
+                  jnp.sin(half) / jnp.maximum(angle, eps))
+    return jnp.concatenate([jnp.cos(half), aa * k], axis=-1)

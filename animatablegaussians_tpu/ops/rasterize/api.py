@@ -1,0 +1,142 @@
+"""Public rasterization API — functional equivalent of the reference's
+`render3` (ref: gaussians/gaussian_renderer.py:19-106) with the same output
+contract: color, depth, alpha mask, radii.
+
+Composition:
+    preprocess (XLA, autodiff) -> pack per-Gaussian rows -> binning (int) ->
+    gather per-tile lists (take; its VJP is the scatter-add the CUDA backward
+    does with atomics) -> tile blend (Pallas kernel or pure-JAX ref) ->
+    untile + background blend (XLA).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .binning import bin_gaussians
+from .blend_ref import blend_tiles_ref
+from .preprocess import preprocess
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    tile: int = 16          # pixels per tile side (ref: config.h BLOCK_X/Y)
+    max_dup: int = 16       # static cap on tiles touched per Gaussian
+    k_max: int = 512        # static cap on Gaussians per tile
+    # "auto": Pallas kernel on TPU, pure-XLA reference blend elsewhere
+    # (interpret-mode pallas emulation is pathologically slow to compile
+    # on CPU); "pallas" | "ref" force a backend.
+    backend: str = "auto"
+
+
+def _pack_rows(pre, opacities, colors):
+    """(N,...) fields -> (N, 16) rows [x y ca cb cc op r g b d 0..]."""
+    N = opacities.shape[0]
+    zeros = jnp.zeros((N,), jnp.float32)
+    op = jnp.where(pre.valid, opacities.reshape(N), 0.0)
+    return jnp.stack([
+        pre.means2d[:, 0], pre.means2d[:, 1],
+        pre.conics[:, 0], pre.conics[:, 1], pre.conics[:, 2],
+        op,
+        colors[:, 0], colors[:, 1], colors[:, 2],
+        pre.depths,
+        zeros, zeros, zeros, zeros, zeros, zeros,
+    ], axis=1)
+
+
+def _blend(tile_data, tile_count, grid_x, tile, backend):
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "ref"
+    if backend == "pallas":
+        from .blend_pallas import blend_tiles
+        return blend_tiles(tile_data, tile_count, grid_x, tile)
+    return blend_tiles_ref(tile_data, tile_count, grid_x, tile)
+
+
+def _untile(img_t, grid_x, grid_y, tile, img_h, img_w):
+    """(T, P) per-tile pixels -> (H, W) image crop."""
+    img = img_t.reshape(grid_y, grid_x, tile, tile)
+    img = img.transpose(0, 2, 1, 3).reshape(grid_y * tile, grid_x * tile)
+    return img[:img_h, :img_w]
+
+
+@partial(jax.jit, static_argnames=("img_w", "img_h", "config"))
+def render(
+    means3d: jnp.ndarray,      # (N, 3) world space
+    scales: jnp.ndarray,       # (N, 3) activated
+    rotations: jnp.ndarray,    # (N, 4) unit quats wxyz
+    opacities: jnp.ndarray,    # (N,) or (N, 1) activated
+    colors: jnp.ndarray,       # (N, 3) precomputed RGB
+    bg_color: jnp.ndarray,     # (3,)
+    extr: jnp.ndarray,         # (4, 4) world->view
+    intr: jnp.ndarray,         # (3, 3) K  (static contents used for proj)
+    img_w: int,
+    img_h: int,
+    scale_modifier: float = 1.0,
+    config: RasterizeConfig = RasterizeConfig(),
+) -> dict:
+    # FoV from intrinsics (ref: gaussian_renderer.py:45-48); works traced.
+    fx = intr[0, 0]
+    fy = intr[1, 1]
+    tan_fovx = img_w / (2.0 * fx)
+    tan_fovy = img_h / (2.0 * fy)
+
+    viewmatrix, projmatrix = _full_projection_traced(extr, intr, img_w, img_h)
+
+    pre = preprocess(means3d, scales, rotations, viewmatrix, projmatrix,
+                     tan_fovx, tan_fovy, img_w, img_h, scale_modifier)
+
+    rows = _pack_rows(pre, opacities, colors)          # (N, 16)
+
+    bins = bin_gaussians(pre.means2d, pre.depths, pre.radii, pre.valid,
+                         img_w, img_h, tile=config.tile,
+                         max_dup=config.max_dup, k_max=config.k_max)
+
+    # Gather per-tile rows; transpose to (T, 16, K) for lane-friendly access.
+    tile_rows = rows[bins.tile_gid]                    # (T, K, 16)
+    tile_data = jnp.swapaxes(tile_rows, 1, 2)          # (T, 16, K)
+
+    grid_x = -(-img_w // config.tile)
+    grid_y = -(-img_h // config.tile)
+
+    out = _blend(tile_data, bins.tile_count, grid_x, config.tile,
+                 config.backend)                       # (T, P, 8)
+
+    untile = lambda ch: _untile(out[:, :, ch], grid_x, grid_y, config.tile,
+                                img_h, img_w)
+    t_final = untile(4)
+    color = jnp.stack([untile(0), untile(1), untile(2)], axis=-1)
+    color = color + t_final[..., None] * bg_color[None, None, :]
+    depth = untile(3)
+    alpha = 1.0 - t_final
+
+    return dict(render=color, depth=depth, mask=alpha, radii=pre.radii,
+                n_overflow=bins.n_overflow)
+
+
+def _full_projection_traced(extr, intr, img_w, img_h,
+                            znear=0.1, zfar=100.0):
+    """Projection matrix built with jnp so it works under jit with traced
+    intrinsics (ref math: utils/graphics_utils.py:51-79)."""
+    K = intr
+    near_fx = znear / K[0, 0]
+    near_fy = znear / K[1, 1]
+    left = -(img_w - K[0, 2]) * near_fx
+    right = K[0, 2] * near_fx
+    bottom = (K[1, 2] - img_h) * near_fy
+    top = K[1, 2] * near_fy
+
+    P = jnp.zeros((4, 4), jnp.float32)
+    P = P.at[0, 0].set(2.0 * znear / (right - left))
+    P = P.at[1, 1].set(2.0 * znear / (top - bottom))
+    P = P.at[0, 2].set((right + left) / (right - left))
+    P = P.at[1, 2].set((top + bottom) / (top - bottom))
+    P = P.at[3, 2].set(1.0)
+    P = P.at[2, 2].set(zfar / (zfar - znear))
+    P = P.at[2, 3].set(-(zfar * znear) / (zfar - znear))
+    extr = extr.astype(jnp.float32)
+    return extr, P @ extr

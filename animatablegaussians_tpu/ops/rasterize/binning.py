@@ -1,0 +1,102 @@
+"""Tile binning with static shapes.
+
+The CUDA reference uses a data-dependent global radix sort over
+(tileID | depth-bits) keys (ref: rasterizer_impl.cu:70-138, 278-309). XLA has
+no dynamic-length sort, so the TPU design is:
+
+  1. argsort the N Gaussians by view depth once (N keys, not N*dup);
+  2. emit up to MAX_DUP (gaussian, tile) entries per Gaussian in depth order
+     (static cap; overflow is counted and reported);
+  3. one *stable* single-key sort by tile id — stability preserves the global
+     depth order within each tile, reproducing the reference's
+     (tile, depth)-lexicographic order;
+  4. per-tile ranges via searchsorted, then a static-K gather of per-tile
+     Gaussian index lists (cap K_MAX, truncating the most distant Gaussians —
+     consistent with front-to-back early termination).
+
+Everything is integer bookkeeping: no gradients flow through binning.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TileBins(NamedTuple):
+    tile_gid: jnp.ndarray     # (T, K_MAX) int32 gaussian indices, depth order
+    tile_count: jnp.ndarray   # (T,) int32 number of valid entries (capped)
+    n_overflow: jnp.ndarray   # () int32: dropped (gaussian,tile) pairs
+                              # (rect cap + per-tile cap)
+
+
+def tile_rect(means2d, radii, grid_x: int, grid_y: int, tile: int):
+    """Tile-rect bounds per Gaussian (ref: auxiliary.h getRect)."""
+    x, y = means2d[:, 0], means2d[:, 1]
+    r = radii.astype(means2d.dtype)
+    rx0 = jnp.clip(jnp.floor((x - r) / tile), 0, grid_x).astype(jnp.int32)
+    ry0 = jnp.clip(jnp.floor((y - r) / tile), 0, grid_y).astype(jnp.int32)
+    rx1 = jnp.clip(jnp.floor((x + r + tile - 1) / tile), 0, grid_x).astype(jnp.int32)
+    ry1 = jnp.clip(jnp.floor((y + r + tile - 1) / tile), 0, grid_y).astype(jnp.int32)
+    return rx0, ry0, rx1, ry1
+
+
+def bin_gaussians(
+    means2d: jnp.ndarray,      # (N, 2)
+    depths: jnp.ndarray,       # (N,)
+    radii: jnp.ndarray,        # (N,) int32
+    valid: jnp.ndarray,        # (N,) bool
+    img_w: int,
+    img_h: int,
+    tile: int = 16,
+    max_dup: int = 16,
+    k_max: int = 512,
+) -> TileBins:
+    grid_x = -(-img_w // tile)
+    grid_y = -(-img_h // tile)
+    T = grid_x * grid_y
+    N = means2d.shape[0]
+
+    # 1. Depth order over Gaussians (invalid sink to the back).
+    depth_key = jnp.where(valid, depths, jnp.inf).astype(jnp.float32)
+    order = jnp.argsort(depth_key).astype(jnp.int32)          # (N,)
+
+    xy = means2d[order]
+    r = radii[order]
+    v = valid[order]
+    rx0, ry0, rx1, ry1 = tile_rect(xy, r, grid_x, grid_y, tile)
+    width = rx1 - rx0
+    height = ry1 - ry0
+    ntiles = width * height
+    ntiles = jnp.where(v, ntiles, 0)
+    rect_overflow = jnp.sum(jnp.maximum(ntiles - max_dup, 0))
+
+    # 2. Static duplication.
+    d = jnp.arange(max_dup, dtype=jnp.int32)[None, :]          # (1, D)
+    w_safe = jnp.maximum(width, 1)[:, None]
+    dy = d // w_safe
+    dx = d - dy * w_safe
+    tile_id = (ry0[:, None] + dy) * grid_x + (rx0[:, None] + dx)
+    dup_valid = v[:, None] & (d < ntiles[:, None])
+    key = jnp.where(dup_valid, tile_id, T).astype(jnp.int32)   # sentinel T
+    gid = jnp.broadcast_to(order[:, None], key.shape)
+
+    # 3. Stable tile sort (preserves depth order within tiles).
+    sorted_key, sorted_gid = jax.lax.sort(
+        (key.reshape(-1), gid.reshape(-1)), num_keys=1, is_stable=True)
+
+    # 4. Ranges + static-K per-tile lists.
+    starts = jnp.searchsorted(sorted_key, jnp.arange(T + 1, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]                          # (T,)
+    tile_overflow = jnp.sum(jnp.maximum(counts - k_max, 0))
+    counts_c = jnp.minimum(counts, k_max)
+
+    idx = starts[:T, None] + jnp.arange(k_max, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(idx, N * max_dup - 1)
+    tile_gid = sorted_gid[idx]                                  # (T, K)
+
+    return TileBins(tile_gid=tile_gid, tile_count=counts_c,
+                    n_overflow=(rect_overflow + tile_overflow).astype(jnp.int32))

@@ -1,0 +1,165 @@
+"""Rasterizer tests: full pipeline vs a per-pixel numpy oracle splatter,
+Pallas blend vs pure-JAX reference blend, and gradient checks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from animatablegaussians_tpu.ops.rasterize import (RasterizeConfig, render,
+                                                   preprocess, bin_gaussians)
+from animatablegaussians_tpu.ops.rasterize.api import _full_projection_traced
+from animatablegaussians_tpu.ops.rasterize.blend_ref import (
+    ALPHA_CLAMP, ALPHA_MIN, T_EPS)
+
+W, H = 64, 48
+TILE = 16
+
+
+def make_scene(n=60, seed=0):
+    rng = np.random.default_rng(seed)
+    means = rng.uniform([-0.8, -0.6, 2.0], [0.8, 0.6, 4.0],
+                        (n, 3)).astype(np.float32)
+    scales = rng.uniform(0.02, 0.12, (n, 3)).astype(np.float32)
+    q = rng.standard_normal((n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    opac = rng.uniform(0.2, 0.9, (n,)).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    extr = np.eye(4, dtype=np.float32)
+    intr = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]],
+                    np.float32)
+    return means, scales, q, opac, colors, extr, intr
+
+
+def oracle_image(means, scales, q, opac, colors, extr, intr, bg):
+    """Per-pixel numpy splatter replicating the CUDA semantics exactly."""
+    pre = preprocess(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(q),
+                     *_full_projection_traced(jnp.asarray(extr),
+                                              jnp.asarray(intr), W, H),
+                     W / (2 * intr[0, 0]), H / (2 * intr[1, 1]), W, H)
+    xy = np.asarray(pre.means2d)
+    con = np.asarray(pre.conics)
+    dep = np.asarray(pre.depths)
+    rad = np.asarray(pre.radii)
+    val = np.asarray(pre.valid)
+
+    gx = -(-W // TILE)
+    gy = -(-H // TILE)
+    order = np.argsort(np.where(val, dep, np.inf), kind="stable")
+
+    # per-gaussian tile rects (same math as binning)
+    rx0 = np.clip(np.floor((xy[:, 0] - rad) / TILE), 0, gx).astype(int)
+    ry0 = np.clip(np.floor((xy[:, 1] - rad) / TILE), 0, gy).astype(int)
+    rx1 = np.clip(np.floor((xy[:, 0] + rad + TILE - 1) / TILE), 0, gx).astype(int)
+    ry1 = np.clip(np.floor((xy[:, 1] + rad + TILE - 1) / TILE), 0, gy).astype(int)
+
+    img = np.zeros((H, W, 3))
+    depth_img = np.zeros((H, W))
+    alpha_img = np.zeros((H, W))
+    for py in range(H):
+        for px in range(W):
+            tx, ty = px // TILE, py // TILE
+            T = 1.0
+            c = np.zeros(3)
+            d = 0.0
+            for gi in order:
+                if not val[gi]:
+                    continue
+                if not (rx0[gi] <= tx < rx1[gi] and ry0[gi] <= ty < ry1[gi]):
+                    continue
+                dx, dy = xy[gi, 0] - px, xy[gi, 1] - py
+                a, b_, cc = con[gi]
+                power = -0.5 * (a * dx * dx + cc * dy * dy) - b_ * dx * dy
+                if power > 0:
+                    continue
+                alpha = min(ALPHA_CLAMP, opac[gi] * np.exp(power))
+                if alpha < ALPHA_MIN:
+                    continue
+                test_T = T * (1 - alpha)
+                if test_T < T_EPS:
+                    break
+                c += colors[gi] * alpha * T
+                d += dep[gi] * alpha * T
+                T = test_T
+            img[py, px] = c + T * bg
+            depth_img[py, px] = d
+            alpha_img[py, px] = 1 - T
+    return img, depth_img, alpha_img
+
+
+@pytest.mark.parametrize("backend", ["ref", "pallas"])
+def test_render_matches_oracle(backend):
+    means, scales, q, opac, colors, extr, intr = make_scene()
+    bg = np.array([0.1, 0.2, 0.3], np.float32)
+    cfg = RasterizeConfig(backend=backend, k_max=128, max_dup=16)
+    out = render(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(q),
+                 jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(bg),
+                 jnp.asarray(extr), jnp.asarray(intr), W, H, config=cfg)
+    assert int(out["n_overflow"]) == 0
+    want_img, want_depth, want_alpha = oracle_image(
+        means, scales, q, opac, colors, extr, intr, bg)
+    got = np.asarray(out["render"])
+    np.testing.assert_allclose(got, want_img, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["depth"]), want_depth, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["mask"]), want_alpha, atol=2e-4)
+
+
+def test_pallas_matches_ref_backend():
+    means, scales, q, opac, colors, extr, intr = make_scene(n=100, seed=3)
+    bg = np.zeros(3, np.float32)
+    outs = {}
+    for backend in ["ref", "pallas"]:
+        cfg = RasterizeConfig(backend=backend, k_max=256)
+        outs[backend] = render(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(q),
+            jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(bg),
+            jnp.asarray(extr), jnp.asarray(intr), W, H, config=cfg)
+    for k in ["render", "depth", "mask"]:
+        np.testing.assert_allclose(np.asarray(outs["pallas"][k]),
+                                   np.asarray(outs["ref"][k]), atol=1e-5)
+
+
+def _loss_fn(backend):
+    means, scales, q, opac, colors, extr, intr = make_scene(n=25, seed=5)
+    bg = np.array([0.3, 0.1, 0.0], np.float32)
+    cfg = RasterizeConfig(backend=backend, k_max=128)
+    tgt = np.linspace(0, 1, H * W * 3).reshape(H, W, 3).astype(np.float32)
+
+    def loss(means_, scales_, q_, opac_, colors_):
+        out = render(means_, scales_, q_, opac_, colors_, jnp.asarray(bg),
+                     jnp.asarray(extr), jnp.asarray(intr), W, H, config=cfg)
+        return (jnp.sum((out["render"] - tgt) ** 2)
+                + jnp.sum(out["depth"] * 0.01)
+                + jnp.sum(out["mask"] * 0.02))
+
+    args = tuple(jnp.asarray(a) for a in (means, scales, q, opac, colors))
+    return loss, args
+
+
+def test_pallas_grads_match_ref_autodiff():
+    loss_ref, args = _loss_fn("ref")
+    loss_pal, _ = _loss_fn("pallas")
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b, name in zip(g_ref, g_pal,
+                          ["means", "scales", "quats", "opac", "colors"]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4, err_msg=name)
+
+
+def test_grads_match_finite_differences():
+    loss, args = _loss_fn("ref")
+    g = jax.grad(loss, argnums=3)(*args)  # opacity grad
+    # central differences on a few entries
+    eps = 1e-3
+    opac = np.asarray(args[3])
+    for i in [0, 7, 19]:
+        op_p, op_m = opac.copy(), opac.copy()
+        op_p[i] += eps
+        op_m[i] -= eps
+        args_p = args[:3] + (jnp.asarray(op_p),) + args[4:]
+        args_m = args[:3] + (jnp.asarray(op_m),) + args[4:]
+        fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
+        assert abs(float(g[i]) - fd) < 3e-2 * max(1.0, abs(fd)), \
+            f"opacity grad {i}: analytic {float(g[i])} vs fd {fd}"
