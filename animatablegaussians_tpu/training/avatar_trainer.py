@@ -1,0 +1,197 @@
+"""Avatar training: pretrain + main-phase steps as pure jitted functions.
+
+Functional re-design of the reference trainer (ref: main_avatar.py:37-442):
+
+  * cosine LR with 5% floor over ``iter_num`` steps (ref: main_avatar.py:61-68)
+    via an optax schedule;
+  * pretrain phase regresses the three CNN heads to the static canonical
+    Gaussians with L1 (ref: main_avatar.py:126-164);
+  * main phase: random background color, boundary-band masking, L1 + mask +
+    LPIPS(512-crop) + offset losses (ref: main_avatar.py:174-246);
+  * ``finetune_color`` freezes the position net (ref: main_avatar.py:190-196)
+    — implemented as an optax.masked zero-update, keeping one compiled step;
+  * the random-patch-after-300k LPIPS crop switch is a traced lax.cond on
+    iter_idx (no recompilation at the 300k boundary).
+
+Everything here is a pure function of (state, items, rng) so the same step
+runs single-chip or sharded over a mesh (see parallel/data_parallel.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from animatablegaussians_tpu.training import losses as L
+from animatablegaussians_tpu.training.lpips import lpips as lpips_fn
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    iter_idx: jnp.ndarray  # () int32
+
+
+def cosine_lr(lr_init: float, iter_num: int, alpha: float = 0.05):
+    """lr(t) = lr_init * ((cos(pi t/T) + 1)/2 * (1-alpha) + alpha)
+    (ref: main_avatar.py:61-68)."""
+    def sched(step):
+        progress = jnp.minimum(step.astype(jnp.float32) / iter_num, 1.0)
+        factor = (jnp.cos(jnp.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
+        return lr_init * factor
+    return sched
+
+
+def make_optimizer(lr_init: float = 5e-4, iter_num: int = 800_000,
+                   finetune_color: bool = False,
+                   freeze_labels: Optional[Callable] = None):
+    """Adam with the cosine schedule. ``finetune_color`` masks updates to the
+    position net (ref: main_avatar.py:190-196). ``freeze_labels`` overrides
+    the default param->trainable mapping."""
+    adam = optax.adam(learning_rate=cosine_lr(lr_init, iter_num))
+    if not finetune_color:
+        return adam
+    # NOTE: optax.masked passes masked-out grads through as raw updates;
+    # multi_transform with set_to_zero is the correct "freeze" semantics.
+    if freeze_labels is None:
+        def freeze_labels(params):
+            return {k: ("freeze" if k == "position_net" else "train")
+                    for k in params}
+    return optax.multi_transform(
+        {"train": adam, "freeze": optax.set_to_zero()}, freeze_labels)
+
+
+# ---------------------------------------------------------------------------
+# Pretrain phase (ref: main_avatar.py:126-164)
+# ---------------------------------------------------------------------------
+
+def make_pretrain_step(avatar_net, optimizer):
+    def loss_fn(params, pose_map):
+        g = params["cano_gaussian"]
+        positions = avatar_net.get_positions(params, pose_map)
+        opacity, scales, rotations = avatar_net.get_others(params, pose_map)
+        tgt = jax.lax.stop_gradient
+        lp = jnp.abs(positions - tgt(g.get_xyz)).mean()
+        lo = jnp.abs(opacity - tgt(g.get_opacity)).mean()
+        ls = jnp.abs(scales - tgt(g.get_scaling)).mean()
+        lr_ = jnp.abs(rotations - tgt(g.get_rotation)).mean()
+        total = lp + lo + ls + lr_
+        return total, dict(position=lp, opacity=lo, scale=ls, rotation=lr_,
+                           total_loss=total)
+
+    @jax.jit
+    def step(state: TrainState, pose_map):
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, pose_map)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.iter_idx + 1), aux
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Main phase (ref: main_avatar.py:166-264)
+# ---------------------------------------------------------------------------
+
+def compute_losses(avatar_net, params, items, rng, iter_idx, *,
+                   loss_weight: dict, lpips_params=None,
+                   random_bg_color: bool = True, patch_size: int = 512,
+                   random_patch_after: int = 300_000,
+                   img_w: Optional[int] = None, img_h: Optional[int] = None):
+    """One example's total loss + per-term diagnostics."""
+    rng_bg, rng_net, rng_crop = jax.random.split(rng, 3)
+    if random_bg_color:
+        bg = jax.random.uniform(rng_bg, (3,))
+    else:
+        bg = jnp.ones((3,), jnp.float32)
+
+    out = avatar_net.render(params, items, bg_color=bg, training=True,
+                            rng=rng_net, img_w=img_w, img_h=img_h)
+    image = out["rgb_map"]                               # (H, W, 3)
+    offset = out["offset"]
+
+    mask = items["mask_img"].astype(jnp.float32)         # (H, W)
+    # boundary band excluded from every pixel loss (ref: main_avatar.py:185-189)
+    bnd = 1.0 - items["boundary_mask_img"].astype(jnp.float32)
+    gt = jnp.where(mask[..., None] > 0.5, items["color_img"],
+                   bg[None, None, :])
+    image = image * bnd[..., None] + (1.0 - bnd[..., None]) * bg
+    gt = gt * bnd[..., None] + (1.0 - bnd[..., None]) * bg
+
+    total = 0.0
+    terms = {}
+
+    w_l1 = float(loss_weight.get("l1", 0.0))
+    if w_l1 > 0:
+        l1 = jnp.abs(image - gt).mean()
+        total += w_l1 * l1
+        terms["l1_loss"] = l1
+
+    w_mask = float(loss_weight.get("mask", 0.0))
+    if w_mask > 0:
+        ml = jnp.abs(out["mask_map"] * bnd - mask * bnd).mean()
+        total += w_mask * ml
+        terms["mask_loss"] = ml
+
+    w_lp = float(loss_weight.get("lpips", 0.0))
+    if w_lp > 0 and lpips_params is not None:
+        def crop(use_random):
+            r = rng_crop if use_random else None
+            img_c, gt_c = L.crop_to_mask([image, gt], mask, patch_size, rng=r)
+            return img_c, gt_c
+        img_c, gt_c = jax.lax.cond(
+            iter_idx >= random_patch_after,
+            lambda: crop(True), lambda: crop(False))
+        lp = lpips_fn(lpips_params, img_c[None], gt_c[None],
+                      normalize=True).mean()
+        total += w_lp * lp
+        terms["lpips_loss"] = lp
+
+    # offset penalty is always on (ref: main_avatar.py:238-241)
+    ol = L.offset_loss(offset)
+    total += float(loss_weight.get("offset", 0.0)) * ol
+    terms["offset_loss"] = ol
+    terms["total_loss"] = total
+    return total, terms
+
+
+def make_train_step(avatar_net, optimizer, *, loss_weight: dict,
+                    lpips_params=None, random_bg_color: bool = True,
+                    patch_size: int = 512, random_patch_after: int = 300_000,
+                    donate: bool = True, axis_name: Optional[str] = None,
+                    img_w: Optional[int] = None, img_h: Optional[int] = None):
+    """Build the jitted single-example train step. With ``axis_name`` the
+    gradients are pmean-ed across that mesh axis before the update (the
+    data-parallel path; the reference has no equivalent, SURVEY.md §2.9)."""
+
+    def loss_fn(params, items, rng, iter_idx):
+        return compute_losses(
+            avatar_net, params, items, rng, iter_idx,
+            loss_weight=loss_weight, lpips_params=lpips_params,
+            random_bg_color=random_bg_color, patch_size=patch_size,
+            random_patch_after=random_patch_after, img_w=img_w, img_h=img_h)
+
+    def step(state: TrainState, items, rng):
+        (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, items, rng, state.iter_idx)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            terms = jax.lax.pmean(terms, axis_name)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.iter_idx + 1), terms
+
+    if axis_name is not None:
+        return step  # caller wraps in shard_map/jit
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

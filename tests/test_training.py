@@ -1,0 +1,173 @@
+"""Training-layer tests: losses/cropping, LPIPS, pretrain + main train steps,
+and the 8-virtual-device data-parallel step (the multi-chip path)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _tiny_avatar(map_h=64, img=64):
+    from animatablegaussians_tpu.models.avatar import AvatarNet
+    from animatablegaussians_tpu.ops.rasterize import RasterizeConfig
+    from animatablegaussians_tpu.utils import synthetic
+
+    pos, nml, lbs = synthetic.make_cano_map(map_h=map_h)
+    net = AvatarNet({"with_viewdirs": True, "channel_max": 32},
+                    pos, lbs, cano_nml_map=nml, map_size=map_h * 2,
+                    raster_config=RasterizeConfig(k_max=128, max_dup=8))
+    params = net.init(jax.random.PRNGKey(0))
+    items = {k: jnp.asarray(v)
+             for k, v in synthetic.make_items(img_w=img, img_h=img,
+                                              cano_pos_map=pos).items()}
+    return net, params, items
+
+
+def test_cosine_lr_schedule():
+    from animatablegaussians_tpu.training.avatar_trainer import cosine_lr
+    sched = cosine_lr(5e-4, 1000)
+    assert np.isclose(float(sched(jnp.asarray(0))), 5e-4)
+    # floor at alpha * lr_init
+    assert np.isclose(float(sched(jnp.asarray(1000))), 5e-4 * 0.05)
+    assert float(sched(jnp.asarray(500))) < 5e-4
+
+
+def test_crop_to_mask_resize_and_random():
+    from animatablegaussians_tpu.training.losses import crop_to_mask
+    img = jnp.zeros((64, 48, 3)).at[10:30, 8:24].set(1.0)
+    mask = jnp.zeros((64, 48)).at[10:30, 8:24].set(1.0)
+
+    out = crop_to_mask(img, mask, 16)
+    assert out.shape == (16, 16, 3)
+    # bbox fills most of the patch after square resize
+    assert float(out.mean()) > 0.4
+
+    out_r = crop_to_mask(img, mask, 8, rng=jax.random.PRNGKey(0))
+    assert out_r.shape == (8, 8, 3)
+    # random window starts inside the bbox -> all ones
+    assert float(out_r.mean()) > 0.99
+
+
+def test_offset_loss_is_norm_mean():
+    from animatablegaussians_tpu.training.losses import offset_loss
+    off = jnp.array([[3.0, 4.0, 0.0], [0.0, 0.0, 0.0]])
+    assert np.isclose(float(offset_loss(off)), 2.5)
+
+
+def test_lpips_shapes_and_zero_self_distance():
+    from animatablegaussians_tpu.training import lpips as lp
+    params = lp.init_random(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    d_self = lp.lpips(params, x, x)
+    assert d_self.shape == (2,)
+    assert np.allclose(np.asarray(d_self), 0.0, atol=1e-6)
+    y = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    d = lp.lpips(params, x, y)
+    assert np.all(np.asarray(d) > 0)
+    # differentiable
+    g = jax.grad(lambda a: lp.lpips(params, a, y).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_pretrain_step_decreases_loss():
+    from animatablegaussians_tpu.training import avatar_trainer as at
+    net, params, _ = _tiny_avatar()
+    opt = at.make_optimizer(lr_init=1e-3, iter_num=100)
+    state = at.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = at.make_pretrain_step(net, opt)
+    # front half of the canonical map, downsampled to the CNN input res
+    pose_map = net.cano_smpl_map[:, : net.map_w // 2][::2, ::2]
+    losses = []
+    for _ in range(3):
+        state, aux = step(state, pose_map)
+        losses.append(float(aux["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_train_step_runs_and_is_finite():
+    from animatablegaussians_tpu.training import avatar_trainer as at
+    from animatablegaussians_tpu.training.lpips import init_random
+    net, params, items = _tiny_avatar()
+    opt = at.make_optimizer(lr_init=5e-4, iter_num=100)
+    state = at.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = at.make_train_step(
+        net, opt,
+        loss_weight=dict(l1=1.0, mask=0.1, lpips=0.01, offset=0.005),
+        lpips_params=init_random(jax.random.PRNGKey(7)),
+        patch_size=32, random_patch_after=10_000,
+        img_w=64, img_h=64, donate=False)
+    state2, terms = step(state, items, jax.random.PRNGKey(3))
+    assert np.isfinite(float(terms["total_loss"]))
+    assert int(state2.iter_idx) == 1
+    # params actually moved
+    delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                     state.params["color_net"], state2.params["color_net"]))
+    assert delta > 0
+
+
+def test_finetune_color_freezes_position_net():
+    from animatablegaussians_tpu.training import avatar_trainer as at
+    net, params, items = _tiny_avatar()
+    opt = at.make_optimizer(lr_init=5e-4, iter_num=100, finetune_color=True)
+    state = at.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = at.make_train_step(
+        net, opt, loss_weight=dict(l1=1.0, offset=0.005),
+        img_w=64, img_h=64, donate=False)
+    state2, _ = step(state, items, jax.random.PRNGKey(3))
+    same = jax.tree.map(lambda a, b: bool(jnp.all(a == b)),
+                        state.params["position_net"],
+                        state2.params["position_net"])
+    assert all(jax.tree.leaves(same))
+
+
+def test_dp_train_step_8dev():
+    from animatablegaussians_tpu.parallel import (make_dp_train_step,
+                                                  make_mesh, shard_batch)
+    from animatablegaussians_tpu.parallel.data_parallel import replicate
+    from animatablegaussians_tpu.training import avatar_trainer as at
+    from animatablegaussians_tpu.utils import synthetic
+
+    n = 8
+    if len(jax.devices()) < n:
+        pytest.skip("needs 8 virtual devices")
+
+    net, params, _ = _tiny_avatar()
+    opt = at.make_optimizer(lr_init=5e-4, iter_num=100)
+    state = at.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = at.make_train_step(net, opt,
+                              loss_weight=dict(l1=1.0, offset=0.005),
+                              axis_name="data", img_w=64, img_h=64)
+    mesh = make_mesh(n)
+    dp_step = make_dp_train_step(step, mesh)
+    pos, _, _ = synthetic.make_cano_map(map_h=64)
+    batch = synthetic.batch_items(
+        [synthetic.make_items(img_w=64, img_h=64, seed=i, cano_pos_map=pos)
+         for i in range(n)])
+    batch = shard_batch(mesh, batch)
+    rngs = shard_batch(mesh, jax.random.split(jax.random.PRNGKey(5), n))
+    state = replicate(mesh, state)
+    state2, terms = dp_step(state, batch, rngs)
+    assert np.isfinite(float(terms["total_loss"]))
+    assert int(state2.iter_idx) == 1
+
+
+def test_prefetch_loader_stacks_and_iterates():
+    from animatablegaussians_tpu.data.loader import PrefetchLoader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return dict(x=np.full((4, 4), i, np.float32), y=np.float32(i))
+
+    loader = PrefetchLoader(DS(), batch_size=4, shuffle=True, num_threads=2)
+    batches = list(iter(loader))
+    assert len(batches) == 2
+    assert batches[0]["x"].shape == (4, 4, 4)
+    seen = sorted(int(v) for b in batches for v in b["y"])
+    assert len(set(seen)) == 8
