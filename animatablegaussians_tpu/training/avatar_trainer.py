@@ -143,6 +143,12 @@ def compute_losses(avatar_net, params, items, rng, iter_idx, *,
         total += w_mask * ml
         terms["mask_loss"] = ml
 
+    w_ssim = float(loss_weight.get("ssim", 0.0))
+    if w_ssim > 0:  # actor08-style config (ref: configs/actor08/avatar.yaml)
+        sl = L.ssim_loss(image, gt)
+        total += w_ssim * sl
+        terms["ssim_loss"] = sl
+
     w_lp = float(loss_weight.get("lpips", 0.0))
     if w_lp > 0 and lpips_params is not None:
         def crop(use_random):

@@ -146,6 +146,37 @@ def eikonal_loss(grads: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((jnp.linalg.norm(grads, axis=-1) - 1.0) ** 2)
 
 
+def ssim(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0,
+         win_size: int = 7, k1: float = 0.01, k2: float = 0.03):
+    """Differentiable SSIM (uniform window, skimage-equivalent semantics) on
+    (H, W, C) images; used by the actor08-style ``ssim`` loss weight."""
+    C = a.shape[-1]
+    kern = jnp.ones((win_size, win_size, 1, 1), a.dtype) / win_size ** 2
+    kern = jnp.tile(kern, (1, 1, 1, C))
+
+    def filt(x):
+        return jax.lax.conv_general_dilated(
+            x[None], kern, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C)[0]
+
+    np_ = win_size * win_size
+    cov_norm = np_ / (np_ - 1)
+    ua, ub = filt(a), filt(b)
+    va = cov_norm * (filt(a * a) - ua * ua)
+    vb = cov_norm * (filt(b * b) - ub * ub)
+    vab = cov_norm * (filt(a * b) - ua * ub)
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    s = ((2 * ua * ub + c1) * (2 * vab + c2)
+         / ((ua ** 2 + ub ** 2 + c1) * (va + vb + c2)))
+    return jnp.mean(s)
+
+
+def ssim_loss(pred, target):
+    return 1.0 - ssim(pred, target)
+
+
 def second_order_smoothness(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     """Sequence acceleration penalty (ref: utils/losses.py:16-31)."""
     x0 = jax.lax.slice_in_dim(x, 0, x.shape[axis] - 2, axis=axis)

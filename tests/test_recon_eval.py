@@ -108,3 +108,33 @@ def test_to_hsv_range():
     rgb = to_hsv(c)
     assert rgb.shape == (11, 3) and rgb.dtype == np.uint8
     assert rgb.max() == 255
+
+
+def test_ssim_loss_matches_eval_ssim():
+    from animatablegaussians_tpu.training.losses import ssim as ssim_train
+    from animatablegaussians_tpu.eval.score import compute_ssim
+    rng = np.random.default_rng(3)
+    a = rng.random((48, 40, 3)).astype(np.float32)
+    b = np.clip(a + 0.05 * rng.standard_normal(a.shape), 0, 1).astype(
+        np.float32)
+    got = float(ssim_train(jnp.asarray(a), jnp.asarray(b)))
+    want = compute_ssim(a, b)
+    assert abs(got - want) < 1e-4
+    # differentiable
+    g = jax.grad(lambda x: ssim_train(x, jnp.asarray(b)))(jnp.asarray(a))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_generated_configs_load():
+    import glob
+    from animatablegaussians_tpu.config import load_config
+    cfgs = glob.glob("configs/*/avatar.yaml")
+    assert len(cfgs) >= 10
+    for path in cfgs[:3]:
+        c = load_config(path)
+        assert "data_dir" in c["train"]["data"]
+        assert c["train"]["loss_weight"].get("l1") is not None
+        assert c["test"]["n_pca"] == 20
+        t = load_config(path.replace("avatar.yaml", "template.yaml"))
+        assert t["train"]["lr"]["network"]["type"] == "Step"
+        assert t["model"]["use_root_finding"] is True
