@@ -41,7 +41,7 @@ class AvatarNet:
     def __init__(self, opt, cano_smpl_map: np.ndarray,
                  init_pts_lbs: np.ndarray,
                  cano_nml_map: Optional[np.ndarray] = None,
-                 map_size: int = 1024,
+                 map_size: Optional[int] = None,
                  raster_config: RasterizeConfig = RasterizeConfig()):
         """cano_smpl_map: (H, 2H, 3) canonical position map (front|back);
         init_pts_lbs: (N, J) per-point LBS weights."""
@@ -54,7 +54,13 @@ class AvatarNet:
 
         self.map_h, self.map_w = cano_smpl_map.shape[:2]
         self.inp_size = self.map_h // 2          # CNN input res (512)
-        self.out_size = map_size                 # CNN output res (1024)
+        # CNN output res per side MUST equal the canonical map height so
+        # the masked-texel gather indexes the full output map
+        # (ref: avatar.py:34-36 — inp 512, out 1024 for the 1024x2048 map)
+        self.out_size = map_size or self.map_h
+        assert self.out_size == self.map_h, (
+            f"CNN out_size {self.out_size} must equal cano map height "
+            f"{self.map_h} (masked texels index the output map)")
 
         self.cano_smpl_map = jnp.asarray(cano_smpl_map, jnp.float32)
         mask = np.linalg.norm(np.asarray(cano_smpl_map), axis=-1) > 0.0

@@ -25,8 +25,8 @@ import time
 # with a measured number when an A100 run is available.
 A100_BASELINE_IT_S = 2.0
 
-MAP_H = 512            # canonical map 512 x 1024 -> CNN in 256^2, out 512^2
-IMG_W, IMG_H = 750, 1024   # half AvatarReX res (fits v5e HBM with bwd)
+MAP_H = 1024           # canonical map 1024x2048 -> CNN in 512^2, out 1024^2
+IMG_W, IMG_H = 1500, 2048  # AvatarReX camera resolution
 WARMUP = 2
 ITERS = 10
 

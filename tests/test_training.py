@@ -15,7 +15,7 @@ def _tiny_avatar(map_h=64, img=64):
 
     pos, nml, lbs = synthetic.make_cano_map(map_h=map_h)
     net = AvatarNet({"with_viewdirs": True, "channel_max": 32},
-                    pos, lbs, cano_nml_map=nml, map_size=map_h * 2,
+                    pos, lbs, cano_nml_map=nml,
                     raster_config=RasterizeConfig(k_max=128, max_dup=8))
     params = net.init(jax.random.PRNGKey(0))
     items = {k: jnp.asarray(v)
