@@ -64,13 +64,14 @@ def _untile(img_t, grid_x, grid_y, tile, img_h, img_w):
     return img[:img_h, :img_w]
 
 
-@partial(jax.jit, static_argnames=("img_w", "img_h", "config"))
+@partial(jax.jit, static_argnames=("img_w", "img_h", "config",
+                                   "max_sh_degree"))
 def render(
     means3d: jnp.ndarray,      # (N, 3) world space
     scales: jnp.ndarray,       # (N, 3) activated
     rotations: jnp.ndarray,    # (N, 4) unit quats wxyz
     opacities: jnp.ndarray,    # (N,) or (N, 1) activated
-    colors: jnp.ndarray,       # (N, 3) precomputed RGB
+    colors: jnp.ndarray,       # (N, 3) precomputed RGB, or None with shs
     bg_color: jnp.ndarray,     # (3,)
     extr: jnp.ndarray,         # (4, 4) world->view
     intr: jnp.ndarray,         # (3, 3) K  (static contents used for proj)
@@ -78,7 +79,13 @@ def render(
     img_h: int,
     scale_modifier: float = 1.0,
     config: RasterizeConfig = RasterizeConfig(),
+    shs: jnp.ndarray = None,   # (N, (deg+1)^2, 3) SH coeffs (alt. to colors)
+    max_sh_degree: int = 0,
 ) -> dict:
+    assert (colors is None) != (shs is None) or shs is None, \
+        "pass colors or shs, not both"
+    if colors is None:
+        colors = precompute_sh_colors(shs, max_sh_degree, means3d, extr)
     # FoV from intrinsics (ref: gaussian_renderer.py:45-48); works traced.
     fx = intr[0, 0]
     fy = intr[1, 1]
@@ -116,6 +123,29 @@ def render(
 
     return dict(render=color, depth=depth, mask=alpha, radii=pre.radii,
                 n_overflow=bins.n_overflow)
+
+
+def precompute_sh_colors(shs: jnp.ndarray, max_sh_degree: int,
+                         means3d: jnp.ndarray,
+                         extr: jnp.ndarray) -> jnp.ndarray:
+    """SH -> per-Gaussian RGB from the camera-to-point view directions
+    (ref: gaussian_renderer.py:78-84). shs: (N, (deg+1)^2, 3)."""
+    from animatablegaussians_tpu.ops.sh import eval_sh
+    cam_center = -extr[:3, :3].T @ extr[:3, 3]
+    dirs = means3d - cam_center[None]
+    dirs = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    rgb = eval_sh(max_sh_degree, jnp.swapaxes(shs, -1, -2), dirs)
+    return jnp.maximum(rgb + 0.5, 0.0)
+
+
+def mark_visible(means3d: jnp.ndarray, extr: jnp.ndarray,
+                 znear: float = 0.2) -> jnp.ndarray:
+    """Frustum-test mask (ref: GaussianRasterizer.markVisible,
+    diff_gaussian_rasterization_depth_alpha/__init__.py:179-188 — near-plane
+    cull only, matching auxiliary.h in_frustum)."""
+    view = means3d @ extr[:3, :3].T + extr[:3, 3]
+    return view[:, 2] > znear
 
 
 def _full_projection_traced(extr, intr, img_w, img_h,

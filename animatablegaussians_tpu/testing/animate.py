@@ -127,10 +127,17 @@ def run_test(trainer, opt: dict):
 
     hand_vals = None
     if opt_test.get("fix_hand", False):
-        cano_pose_map = np.asarray(
-            avatar_net.cano_smpl_map)[::2, ::2][:, :avatar_net.inp_size]
+        # hand Gaussians frozen to a fixed training frame's pose map
+        # (ref: network/avatar.py:52-82, config key test.fix_hand_id)
+        fid = int(opt_test.get("fix_hand_id", 0))
+        m = cv.imread(os.path.join(
+            opt["train"]["data"]["data_dir"], "smpl_pos_map",
+            "%08d.exr" % fid), cv.IMREAD_UNCHANGED)
+        half = m.shape[1] // 2
+        fix_pose_map = np.concatenate([m[:, :half], m[:, half:]],
+                                      axis=2)[..., :3]
         hand_vals = avatar_net.generate_mean_hands(
-            trainer.state.params, jnp.asarray(cano_pose_map))
+            trainer.state.params, jnp.asarray(fix_pose_map, jnp.float32))
 
     params = trainer.state.params
     render_cache = {}

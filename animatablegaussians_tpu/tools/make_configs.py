@@ -37,14 +37,14 @@ SUBJECTS = {
         frames=[0, 1901, 1], cams=AVATARREX_CAMS,
         eval_train=[2, 0], eval_test=[481, 0],
         pose=dict(path="AMASS/CMU/10/10_05_poses.npz", frame_interval=4),
-        view="moving", view_idx=18, fix_hand=True),
+        view="moving", view_idx=18, fix_hand=True, fix_hand_id=55),
     "avatarrex_lbn2": dict(
         dataset="MvRgbDatasetAvatarReX", rel="avatarrex/lbn2",
         frames=[0, 1871, 1], cams=AVATARREX_CAMS,
         eval_train=[2, 0], eval_test=[481, 0],
         pose=dict(path="AMASS/MPI_mosh/00093/irish_dance_poses.npz",
                   frame_interval=4),
-        view="front", view_idx=0, fix_hand=True),
+        view="front", view_idx=0, fix_hand=True, fix_hand_id=431),
     "subject00": dict(
         dataset="MvRgbDatasetTHuman4", rel="THuman4/subject00",
         frames=[0, 2000, 1], cams=THUMAN4_CAMS_23,
@@ -78,7 +78,7 @@ SUBJECTS = {
         frames=[60, 2157, 1], cams=ACTORSHQ_CAMS,
         eval_train=[562, 4], eval_test=[562, 37],
         pose=dict(path="thuman4/pose_00.npz", frame_range=[2000, 2500]),
-        view="free", view_idx=13, fix_hand=True),
+        view="free", view_idx=13, fix_hand=True, fix_hand_id=60),
     "actor04": dict(
         dataset="MvRgbDatasetActorsHQ", rel="ActorsHQ/Actor04/Sequence1",
         frames=[77, 1378, 1], cams=ACTORSHQ_CAMS,
@@ -99,7 +99,7 @@ SUBJECTS = {
         eval_train=[714, 126], eval_test=[854, 38],
         pose=dict(path="AMASS/MPI_mosh/00059/misc_poses.npz",
                   frame_interval=4),
-        view="front", view_idx=126, fix_hand=True),
+        view="front", view_idx=126, fix_hand=True, fix_hand_id=280),
     "actor07": dict(
         dataset="MvRgbDatasetActorsHQ", rel="ActorsHQ/Actor07/Sequence1",
         frames=[205, 2139, 1], cams=ACTORSHQ_CAMS,
@@ -164,6 +164,7 @@ def avatar_config(name: str, s: dict, data_root: str, pose_root: str) -> dict:
             save_tex_map=False,
             save_ply=False,
             fix_hand=s.get("fix_hand", False),
+            fix_hand_id=s.get("fix_hand_id", 0),
             n_pca=20,
             sigma_pca=2.0,
             prev_ckpt=f"./results/{name}/avatar/batch_{ckpt}",
