@@ -79,7 +79,8 @@ class AvatarNet:
 
         kw = dict(inp_size=self.inp_size, inp_ch=3, out_size=self.out_size,
                   style_dim=512, n_mlp=2,
-                  channel_max=int(opt.get("channel_max", 512)))
+                  channel_max=int(opt.get("channel_max", 512)),
+                  remat=bool(opt.get("remat", False)))
         self.color_net = su.DualStyleUNet(out_ch=3, **kw)
         self.position_net = su.DualStyleUNet(out_ch=3, **kw)
         self.other_net = su.DualStyleUNet(out_ch=8, **kw)

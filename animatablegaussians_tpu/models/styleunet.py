@@ -241,7 +241,11 @@ class DualStyleUNet:
     def __init__(self, inp_size: int, inp_ch: int, out_ch: int, out_size: int,
                  style_dim: int, n_mlp: int, middle_size: int = 8,
                  channel_multiplier: int = 2, lr_mlp: float = 0.01,
-                 channel_max: int = 512):
+                 channel_max: int = 512, remat: bool = False):
+        # remat=True rematerializes each decoder stage in the backward pass
+        # (jax.checkpoint) — trades ~1/3 more decoder FLOPs for not saving
+        # the big high-res activations, the standard HBM lever at 1024^2
+        self.remat = remat
         self.inp_size = inp_size
         self.inp_ch = inp_ch
         self.out_ch = out_ch
@@ -368,6 +372,16 @@ class DualStyleUNet:
             skip = None
             i = 0
             n_comb = len(p["comb_convs"])
+
+            def stage_fn(c1, c2, rgb, n1, n2, out, skip):
+                out = styled_conv(c1, out, latent, n1, up=True)
+                out = styled_conv(c2, out, latent, n2)
+                skip = to_rgb(rgb, out, latent, skip)
+                return out, skip
+
+            if self.remat:
+                stage_fn = jax.checkpoint(stage_fn)
+
             for stage, ((c1, c2), rgb) in enumerate(
                     zip(zip(convs[::2], convs[1::2]), rgbs)):
                 if i == 0:
@@ -376,9 +390,8 @@ class DualStyleUNet:
                     out = jnp.concatenate(
                         [out, cond_list[-1 - (i // 2)]], axis=-1)
                     out = conv_layer(p["comb_convs"][-1 - (i // 2)], out, 3)
-                out = styled_conv(c1, out, latent, noise[i], up=True)
-                out = styled_conv(c2, out, latent, noise[i + 1])
-                skip = to_rgb(rgb, out, latent, skip)
+                out, skip = stage_fn(c1, c2, rgb, noise[i], noise[i + 1],
+                                     out, skip)
                 if view_feature is not None and i == 8:
                     vf = jax.image.resize(
                         view_feature,

@@ -122,6 +122,8 @@ def render(
     alpha = 1.0 - t_final
 
     return dict(render=color, depth=depth, mask=alpha, radii=pre.radii,
+                visibility_filter=pre.radii > 0,   # ref: renderer.py:104
+                means2d=pre.means2d,               # viewspace positions
                 n_overflow=bins.n_overflow)
 
 

@@ -49,7 +49,7 @@ def main():
 
     net, params, _ = ge._build_avatar(
         map_h=MAP_H, img=IMG_W,
-        raster_kw=dict(k_max=256, max_dup=16))
+        raster_kw=dict(k_max=256, max_dup=16), remat=True)
 
     optimizer = at.make_optimizer(lr_init=5e-4, iter_num=800_000)
     state = at.TrainState(params, optimizer.init(params),
