@@ -31,6 +31,11 @@ class RasterizeConfig:
     # (interpret-mode pallas emulation is pathologically slow to compile
     # on CPU); "pallas" | "ref" force a backend.
     backend: str = "auto"
+    # gradient route for the tile gather: "scatter" = plain take-VJP
+    # (XLA scatter-add; measured 0.37s at AvatarReX scale), "permute" =
+    # sort-inversion gathers (0.66s — TPU row-gather at 64B granularity
+    # loses to the scatter; kept for future pallas-gather work)
+    grad_gather: str = "scatter"
 
 
 def _pack_rows(pre, opacities, colors):
@@ -46,6 +51,72 @@ def _pack_rows(pre, opacities, colors):
         pre.depths,
         zeros, zeros, zeros, zeros, zeros, zeros,
     ], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Scatter-free tile gather.
+#
+# The VJP of a plain `rows[tile_gid]` gather is an XLA scatter-add over
+# T*K entries — measured at ~335ms of a ~370ms splat backward at AvatarReX
+# scale (518k Gaussians, 1500x2048). The CUDA reference pays the same cost
+# as atomicAdd traffic (ref: backward.cu:555-598). Here the binning sort's
+# permutation is inverted instead, so the backward is three gathers + one
+# int sort + a max_dup-width segment sum: sorted position -> (tile, slot)
+# via searchsorted on `starts`, then position -> source entry via the
+# carried `sorted_src`, then depth-rank -> gaussian id via `order`.
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _gather_tile_rows(rows, tile_gid, starts, sorted_src, sorted_key, order,
+                      k_max: int, max_dup: int):
+    """(N, 16) rows -> (T, 16, K) per-tile lane-major tile data."""
+    return jnp.swapaxes(rows[tile_gid], 1, 2)
+
+
+def _gtr_fwd(rows, tile_gid, starts, sorted_src, sorted_key, order,
+             k_max, max_dup):
+    out = _gather_tile_rows(rows, tile_gid, starts, sorted_src, sorted_key,
+                            order, k_max, max_dup)
+    return out, (tile_gid, starts, sorted_src, sorted_key, order,
+                 rows.shape[0])
+
+
+def _gtr_bwd(k_max, max_dup, res, g):
+    tile_gid, starts, sorted_src, sorted_key, order, N = res
+    g = jnp.swapaxes(g, 1, 2)                       # (T, K, C)
+    T, _, C = g.shape
+    ND = N * max_dup
+    s_idx = jnp.arange(ND, dtype=jnp.int32)
+
+    # (tile, slot) of each sorted position: the tile IS the sort key (no
+    # searchsorted — XLA's vectorized binary search costs ~0.8s at 8M);
+    # slot = position - tile range start.
+    t = jnp.minimum(sorted_key, T - 1)
+    k = s_idx - starts[jnp.minimum(sorted_key, T)]
+    valid = (sorted_key < T) & (k < k_max)
+    # linear (tile, slot) index per sorted position, invalid -> 0 w/ mask
+    tk = jnp.where(valid, t * k_max + jnp.minimum(k, k_max - 1), 0)
+
+    # invert the tile sort with a permutation scatter (unique indices, no
+    # accumulation — ~5ms where a pair sort costs ~1s)
+    inv_pos = jnp.zeros((ND,), jnp.int32).at[sorted_src].set(
+        s_idx, unique_indices=True)
+    tk_flat = tk[inv_pos]
+    valid_flat = valid[inv_pos]
+
+    # single fp row gather in flat entry order, then the per-rank dup sum
+    grad_flat = jnp.where(valid_flat[:, None],
+                          g.reshape(T * k_max, C)[tk_flat], 0.0)
+    per_rank = grad_flat.reshape(N, max_dup, C).sum(1)          # (N, C)
+    inv_order = jnp.zeros((N,), jnp.int32).at[order].set(
+        jnp.arange(N, dtype=jnp.int32), unique_indices=True)
+    grad_rows = per_rank[inv_order]
+    z = lambda a: jnp.zeros(a.shape, jax.dtypes.float0)
+    return (grad_rows, z(tile_gid), z(starts), z(sorted_src),
+            z(sorted_key), z(order))
+
+
+_gather_tile_rows.defvjp(_gtr_fwd, _gtr_bwd)
 
 
 def _blend(tile_data, tile_count, grid_x, tile, backend):
@@ -103,9 +174,14 @@ def render(
                          img_w, img_h, tile=config.tile,
                          max_dup=config.max_dup, k_max=config.k_max)
 
-    # Gather per-tile rows; transpose to (T, 16, K) for lane-friendly access.
-    tile_rows = rows[bins.tile_gid]                    # (T, K, 16)
-    tile_data = jnp.swapaxes(tile_rows, 1, 2)          # (T, 16, K)
+    # Gather per-tile rows as (T, 16, K) lane-major tile data.
+    if config.grad_gather == "permute":
+        tile_data = _gather_tile_rows(rows, bins.tile_gid, bins.starts,
+                                      bins.sorted_src, bins.sorted_key,
+                                      bins.order, config.k_max,
+                                      config.max_dup)
+    else:
+        tile_data = jnp.swapaxes(rows[bins.tile_gid], 1, 2)
 
     grid_x = -(-img_w // config.tile)
     grid_y = -(-img_h // config.tile)

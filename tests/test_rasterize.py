@@ -163,3 +163,39 @@ def test_grads_match_finite_differences():
         fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
         assert abs(float(g[i]) - fd) < 3e-2 * max(1.0, abs(fd)), \
             f"opacity grad {i}: analytic {float(g[i])} vs fd {fd}"
+
+
+def test_scatter_free_gather_vjp_exact():
+    """The inverted-permutation gradient path must equal the plain take-VJP
+    bit-for-bit (it replaces a giant scatter-add; see api._gather_tile_rows)."""
+    from animatablegaussians_tpu.ops.rasterize.api import (
+        _gather_tile_rows, _pack_rows)
+    from animatablegaussians_tpu.ops.rasterize.blend_ref import blend_tiles_ref
+
+    means, scales, q, opac, colors, extr, intr = make_scene(n=80, seed=3)
+    vm, pm = _full_projection_traced(jnp.asarray(extr), jnp.asarray(intr),
+                                     W, H)
+    pre = preprocess(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(q),
+                     vm, pm, W / (2 * intr[0, 0]), H / (2 * intr[1, 1]), W, H)
+    K, D = 128, 16
+    bins = bin_gaussians(pre.means2d, pre.depths, pre.radii, pre.valid,
+                         W, H, TILE, D, K)
+    rows = _pack_rows(pre, jnp.asarray(opac), jnp.asarray(colors))
+    grid_x = -(-W // TILE)
+    probe = jnp.sin(jnp.arange(
+        bins.tile_gid.shape[0] * TILE * TILE * 8, dtype=jnp.float32))
+
+    def loss(gather_fn):
+        def f(r):
+            td = gather_fn(r)
+            out = blend_tiles_ref(td, bins.tile_count, grid_x, TILE)
+            return jnp.sum(out * probe.reshape(out.shape))
+        return f
+
+    custom = loss(lambda r: _gather_tile_rows(
+        r, bins.tile_gid, bins.starts, bins.sorted_src, bins.sorted_key,
+        bins.order, K, D))
+    plain = loss(lambda r: jnp.swapaxes(r[bins.tile_gid], 1, 2))
+    g1 = jax.grad(custom)(rows)
+    g2 = jax.grad(plain)(rows)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
