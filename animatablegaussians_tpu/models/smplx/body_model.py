@@ -176,3 +176,108 @@ class SMPLX:
             betas, self.data.shapedirs)
         return dict(vertices=verts, joints=joints, A=A, v_shaped=v_shaped,
                     full_pose=full_pose)
+
+
+class SMPL:
+    """Body-only SMPL (24 joints) sharing the same lbs() core
+    (ref: smplx/body_models.py SMPL class; the avatar pipeline itself uses
+    SMPL-X, this exists for body-model family parity)."""
+
+    NUM_JOINTS = 24
+
+    def __init__(self, data: SMPLXData):
+        self.data = data
+        self.num_joints = int(data.J_regressor.shape[0])
+        self.num_verts = int(data.v_template.shape[0])
+        self.faces = data.faces
+
+    @staticmethod
+    def from_npz(path: str, num_betas: int = 10, **kw) -> "SMPL":
+        raw = np.load(path, allow_pickle=True)
+        f32 = lambda k: jnp.asarray(np.asarray(raw[k], dtype=np.float32))
+        sd = np.asarray(raw["shapedirs"], np.float32)
+        pd = np.asarray(raw["posedirs"], np.float32)
+        if pd.ndim == 3:
+            pd = pd.reshape(-1, pd.shape[-1]).T
+        V = raw["v_template"].shape[0]
+        z45 = jnp.zeros((45,), jnp.float32)
+        data = SMPLXData(
+            v_template=f32("v_template"),
+            shapedirs=jnp.asarray(sd[..., :num_betas]),
+            expr_dirs=jnp.zeros((V, 3, 0), jnp.float32),
+            posedirs=jnp.asarray(pd),
+            J_regressor=f32("J_regressor"),
+            lbs_weights=f32("weights"),
+            left_hand_components=jnp.zeros((1, 45), jnp.float32),
+            right_hand_components=jnp.zeros((1, 45), jnp.float32),
+            left_hand_mean=z45, right_hand_mean=z45,
+            parents=np.asarray(raw["kintree_table"])[0].astype(np.int64),
+            faces=np.asarray(raw["f"], dtype=np.int64),
+        )
+        data.parents[0] = 0
+        return SMPL(data)
+
+    def __call__(self, betas, global_orient=None, body_pose=None,
+                 transl=None):
+        B = betas.shape[0]
+
+        def dflt(x, dim):
+            return jnp.zeros((B, dim), jnp.float32) if x is None else x
+
+        global_orient = dflt(global_orient, 3)
+        body_pose = dflt(body_pose, (self.num_joints - 1) * 3)
+        full_pose = jnp.concatenate(
+            [global_orient.reshape(B, 3),
+             body_pose.reshape(B, (self.num_joints - 1) * 3)], axis=1)
+
+        verts, joints, A = lbs(
+            betas, full_pose, self.data.v_template, self.data.shapedirs,
+            self.data.posedirs, self.data.J_regressor, self.data.parents,
+            self.data.lbs_weights)
+        if transl is not None:
+            verts = verts + transl[:, None]
+            joints = joints + transl[:, None]
+            A = A.at[:, :, :3, 3].add(transl[:, None])
+        return dict(vertices=verts, joints=joints, A=A,
+                    full_pose=full_pose)
+
+
+class MANO:
+    """Single hand (16 joints incl. wrist), same lbs() core with optional
+    PCA hand pose space (ref: smplx/body_models.py MANO class)."""
+
+    def __init__(self, data: SMPLXData, hand_components=None,
+                 hand_mean=None, num_pca_comps: int = 6,
+                 use_pca: bool = True, flat_hand_mean: bool = False):
+        self.data = data
+        self.hand_components = hand_components
+        self.hand_mean = (jnp.zeros(45) if flat_hand_mean or hand_mean is
+                          None else hand_mean)
+        self.num_pca_comps = num_pca_comps
+        self.use_pca = use_pca and hand_components is not None
+        self.num_joints = int(data.J_regressor.shape[0])
+        self.faces = data.faces
+
+    def __call__(self, betas, global_orient=None, hand_pose=None,
+                 transl=None):
+        B = betas.shape[0]
+        if global_orient is None:
+            global_orient = jnp.zeros((B, 3), jnp.float32)
+        if hand_pose is None:
+            hand_pose = jnp.zeros(
+                (B, self.num_pca_comps if self.use_pca else 45), jnp.float32)
+        if self.use_pca:
+            hand_pose = hand_pose @ self.hand_components[:self.num_pca_comps]
+        hand_pose = hand_pose + self.hand_mean[None]
+        full_pose = jnp.concatenate(
+            [global_orient.reshape(B, 3), hand_pose.reshape(B, 45)], axis=1)
+        verts, joints, A = lbs(
+            betas, full_pose, self.data.v_template, self.data.shapedirs,
+            self.data.posedirs, self.data.J_regressor, self.data.parents,
+            self.data.lbs_weights)
+        if transl is not None:
+            verts = verts + transl[:, None]
+            joints = joints + transl[:, None]
+            A = A.at[:, :, :3, 3].add(transl[:, None])
+        return dict(vertices=verts, joints=joints, A=A,
+                    full_pose=full_pose)
