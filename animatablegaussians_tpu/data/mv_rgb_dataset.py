@@ -40,6 +40,10 @@ from animatablegaussians_tpu import config as agt_config
 
 
 def _imread(path: str, unchanged: bool = True):
+    if path.endswith(".exr"):
+        # this image's OpenCV has no EXR support; use the bundled codec
+        from animatablegaussians_tpu.utils import exr
+        return exr.read_exr(path)
     if path.endswith(".jpg"):
         # native decode path (C++ libjpeg; falls back to cv2). Mirror
         # cv2.IMREAD_UNCHANGED: grayscale files stay (H, W).

@@ -130,9 +130,10 @@ def run_test(trainer, opt: dict):
         # hand Gaussians frozen to a fixed training frame's pose map
         # (ref: network/avatar.py:52-82, config key test.fix_hand_id)
         fid = int(opt_test.get("fix_hand_id", 0))
-        m = cv.imread(os.path.join(
+        from animatablegaussians_tpu.utils import exr
+        m = exr.read_exr(os.path.join(
             opt["train"]["data"]["data_dir"], "smpl_pos_map",
-            "%08d.exr" % fid), cv.IMREAD_UNCHANGED)
+            "%08d.exr" % fid))
         half = m.shape[1] // 2
         fix_pose_map = np.concatenate([m[:, :half], m[:, half:]],
                                       axis=2)[..., :3]

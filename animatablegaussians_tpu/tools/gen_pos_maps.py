@@ -97,8 +97,9 @@ def generate(data_dir: str, dataset, smpl_model, map_size: int = MAP_SIZE):
         faces = tfaces.astype(np.int64)
 
     pos_map, nml_map = bake_cano_maps(cano_v, faces, map_size)
-    cv.imwrite(os.path.join(out_dir, "cano_smpl_pos_map.exr"), pos_map)
-    cv.imwrite(os.path.join(out_dir, "cano_smpl_nml_map.exr"), nml_map)
+    from animatablegaussians_tpu.utils import exr
+    exr.write_exr(os.path.join(out_dir, "cano_smpl_pos_map.exr"), pos_map)
+    exr.write_exr(os.path.join(out_dir, "cano_smpl_nml_map.exr"), nml_map)
 
     mask = np.linalg.norm(pos_map, axis=-1) > 0.0
     cano_pts = pos_map[mask]
@@ -135,7 +136,8 @@ def generate(data_dir: str, dataset, smpl_model, map_size: int = MAP_SIZE):
         live_map = np.zeros((map_size, 2 * map_size, 3), np.float32)
         live_map[mask] = live_pts
         live_map = live_map[::2, ::2]  # nearest x0.5 downsample
-        cv.imwrite(os.path.join(out_dir, "%08d.exr" % pose_idx), live_map)
+        exr.write_exr(os.path.join(out_dir, "%08d.exr" % pose_idx),
+                      live_map)
     return out_dir
 
 

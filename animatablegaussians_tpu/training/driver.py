@@ -86,19 +86,17 @@ class AvatarTrainer:
 
     @staticmethod
     def _build_net(data_dir: str, model_opt: dict):
-        import cv2 as cv
         from animatablegaussians_tpu.models.avatar import AvatarNet
-        os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
-        cano_map = cv.imread(
-            os.path.join(data_dir, "smpl_pos_map", "cano_smpl_pos_map.exr"),
-            cv.IMREAD_UNCHANGED)
+        from animatablegaussians_tpu.utils import exr
+        cano_map = exr.read_exr(
+            os.path.join(data_dir, "smpl_pos_map", "cano_smpl_pos_map.exr"))
         lbs = np.load(os.path.join(data_dir, "smpl_pos_map",
                                    "init_pts_lbs.npy"))
         nml = None
         if model_opt.get("with_viewdirs", True):
-            nml = cv.imread(
+            nml = exr.read_exr(
                 os.path.join(data_dir, "smpl_pos_map",
-                             "cano_smpl_nml_map.exr"), cv.IMREAD_UNCHANGED)
+                             "cano_smpl_nml_map.exr"))
         return AvatarNet(model_opt, cano_map, lbs, cano_nml_map=nml)
 
     # ------------------------------------------------------------------

@@ -9,6 +9,8 @@ switch; it must run before any backend is touched (conftest imports first).
 
 import os
 
+os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,120 @@
+"""End-to-end AvatarTrainer integration on a synthetic on-disk capture:
+pretrain iterations, one training epoch, mini-test snapshot, checkpoint
+round trip, resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv = pytest.importorskip("cv2")
+
+from tests.test_datasets import write_synthetic_smplx  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def full_capture(tmp_path_factory):
+    from animatablegaussians_tpu.utils import synthetic
+
+    d = tmp_path_factory.mktemp("capture")
+    n_frames, cams = 3, ["cam00", "cam01"]
+    rng = np.random.default_rng(0)
+
+    import json
+    calib = {cn: dict(R=np.eye(3).reshape(-1).tolist(),
+                      T=[0.05 * i, 0.0, 2.0],
+                      K=[120.0, 0, 48, 0, 120.0, 48, 0, 0, 1],
+                      imgSize=[96, 96])
+             for i, cn in enumerate(cams)}
+    with open(d / "calibration_full.json", "w") as fp:
+        json.dump(calib, fp)
+
+    for cn in cams:
+        os.makedirs(d / cn / "mask" / "pha")
+        for f in range(n_frames):
+            img = (rng.random((96, 96, 3)) * 255).astype(np.uint8)
+            cv.imwrite(str(d / cn / ("%08d.jpg" % f)), img)
+            mask = np.zeros((96, 96), np.uint8)
+            mask[20:80, 30:70] = 255
+            cv.imwrite(str(d / cn / "mask" / "pha" / ("%08d.jpg" % f)), mask)
+
+    np.savez(d / "smpl_params.npz",
+             betas=np.zeros((1, 10), np.float32),
+             global_orient=0.05 * rng.standard_normal(
+                 (n_frames, 3)).astype(np.float32),
+             transl=0.05 * rng.standard_normal(
+                 (n_frames, 3)).astype(np.float32),
+             body_pose=0.05 * rng.standard_normal(
+                 (n_frames, 63)).astype(np.float32),
+             jaw_pose=np.zeros((n_frames, 3), np.float32),
+             expression=np.zeros((n_frames, 10), np.float32),
+             left_hand_pose=np.zeros((n_frames, 45), np.float32),
+             right_hand_pose=np.zeros((n_frames, 45), np.float32))
+
+    smpl_path = str(d / "SMPLX_SYNTH.npz")
+    write_synthetic_smplx(smpl_path)
+
+    # synthetic canonical + per-frame pose maps (map 64 -> CNN in 32);
+    # this image's cv2 has no EXR support -> bundled codec
+    from animatablegaussians_tpu.utils import exr
+    pm_dir = d / "smpl_pos_map"
+    os.makedirs(pm_dir)
+    pos, nml, lbs = synthetic.make_cano_map(map_h=64)
+    exr.write_exr(str(pm_dir / "cano_smpl_pos_map.exr"), pos)
+    exr.write_exr(str(pm_dir / "cano_smpl_nml_map.exr"), nml)
+    np.save(str(pm_dir / "init_pts_lbs.npy"), lbs)
+    half_pose = synthetic.pose_map_from_cano(pos)       # (32, 32, 6)
+    flat = np.concatenate([half_pose[..., :3], half_pose[..., 3:]], axis=1)
+    for f in range(n_frames):
+        exr.write_exr(str(pm_dir / ("%08d.exr" % f)), flat)
+    return str(d), smpl_path
+
+
+def _make_opt(data_dir, smpl_path, ckpt_dir):
+    return dict(
+        train=dict(
+            dataset="MvRgbDatasetAvatarReX",
+            data=dict(data_dir=data_dir, frame_range=[0, 3],
+                      used_cam_ids=[0, 1], load_smpl_pos_map=True,
+                      smpl_model_path=smpl_path),
+            net_ckpt_dir=ckpt_dir,
+            ckpt_interval=dict(epoch=1, batch=4),
+            eval_interval=3,
+            eval_training_ids=[0, 0],
+            lr_init=5e-4,
+            loss_weight=dict(l1=1.0, offset=0.005),
+            finetune_color=False,
+            batch_size=1, num_workers=2, random_bg_color=True),
+        test=dict(n_pca=-1),
+        model=dict(with_viewdirs=True, channel_max=32),
+    )
+
+
+def test_avatar_trainer_end_to_end(full_capture, tmp_path):
+    from animatablegaussians_tpu.training.driver import AvatarTrainer
+
+    data_dir, smpl_path = full_capture
+    opt = _make_opt(data_dir, smpl_path, str(tmp_path / "ckpt"))
+    trainer = AvatarTrainer(opt)
+    assert trainer.avatar_net.n_points > 100
+    assert trainer.img_w == 96 and trainer.img_h == 96
+
+    # few pretrain iterations decrease the head-regression loss
+    trainer.PRETRAIN_ITERS = 3
+    trainer.pretrain()
+    assert os.path.exists(os.path.join(trainer.net_ckpt_dir, "pretrained",
+                                       "state.npz"))
+
+    # one epoch of main training (6 items)
+    trainer.train(num_epochs=1)
+    assert trainer.iter_idx == 6
+    assert os.path.exists(os.path.join(trainer.net_ckpt_dir, "epoch_latest",
+                                       "state.npz"))
+    assert os.path.exists(os.path.join(trainer.net_ckpt_dir, "loss.txt"))
+    evals = os.listdir(os.path.join(trainer.net_ckpt_dir, "eval"))
+    assert len(evals) >= 1  # mini-test snapshots written
+
+    # resume restores the iteration counter
+    trainer2 = AvatarTrainer(opt)
+    trainer2.load_ckpt(os.path.join(trainer.net_ckpt_dir, "epoch_latest"))
+    assert trainer2.iter_idx == 6
