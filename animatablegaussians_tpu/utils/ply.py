@@ -46,7 +46,7 @@ def write_ply(path: str, vertex_props: Dict[str, np.ndarray],
 
     with open(path, "wb") as f:
         f.write(("\n".join(lines) + "\n").encode("ascii"))
-        rec = np.core.records.fromarrays(cols, names=names)
+        rec = np.rec.fromarrays(cols, names=names)
         f.write(rec.tobytes())
         if faces is not None:
             faces = np.asarray(faces, dtype="<i4")

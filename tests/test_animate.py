@@ -1,0 +1,60 @@
+"""Animation-path integration: novel-pose rendering through run_test with a
+PoseDataset, pose-map regeneration, PCA projection and image export."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv = pytest.importorskip("cv2")
+
+from tests.test_driver import full_capture, _make_opt  # noqa: E402,F401
+
+
+def test_run_test_animates_poses(full_capture, tmp_path):
+    from animatablegaussians_tpu.training.driver import AvatarTrainer
+    from animatablegaussians_tpu.testing.animate import run_test
+    from animatablegaussians_tpu.utils import exr
+
+    data_dir, smpl_path = full_capture
+    opt = _make_opt(data_dir, smpl_path, str(tmp_path / "ckpt"))
+
+    # driving poses (thuman4-style npz)
+    rng = np.random.default_rng(5)
+    n = 2
+    pose_path = str(tmp_path / "thuman4_pose_00.npz")
+    np.savez(pose_path,
+             global_orient=0.05 * rng.standard_normal((n, 3)).astype(
+                 np.float32),
+             transl=0.02 * rng.standard_normal((n, 3)).astype(np.float32),
+             body_pose=0.05 * rng.standard_normal((n, 63)).astype(
+                 np.float32))
+
+    opt["test"].update(
+        pose_data=dict(data_path=pose_path, frame_range=[0, 2],
+                       smpl_model_path=smpl_path),
+        view_setting="front",
+        img_scale=0.125,            # 128^2 output
+        n_pca=-1,                   # too few frames for PCA here
+        save_ply=True,
+        output_dir=str(tmp_path / "out"),
+        prev_ckpt=None,
+    )
+
+    trainer = AvatarTrainer(opt)
+    out_dir = run_test(trainer, opt)
+    rgbs = sorted(os.listdir(os.path.join(out_dir, "rgb_map")))
+    masks = sorted(os.listdir(os.path.join(out_dir, "mask_map")))
+    plys = sorted(os.listdir(os.path.join(out_dir, "posed_gaussians")))
+    assert len(rgbs) == 2 and len(masks) == 2 and len(plys) == 2
+
+    img = cv.imread(os.path.join(out_dir, "rgb_map", rgbs[0]))
+    assert img is not None and img.shape == (128, 128, 3)
+    # untrained net on a white bg still renders something non-trivial
+    assert img.std() > 1.0
+
+    from animatablegaussians_tpu.models.gaussian_model import \
+        load_gaussians_from_ply
+    g = load_gaussians_from_ply(os.path.join(out_dir, "posed_gaussians",
+                                             plys[0]))
+    assert g["positions"].shape[0] == trainer.avatar_net.n_points
