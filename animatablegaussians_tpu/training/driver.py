@@ -187,14 +187,26 @@ class AvatarTrainer:
 
     # ------------------------------------------------------------------
     def mini_test(self):
-        """One fixed training pose/view + one testing pose/view to JPG
-        (ref: main_avatar.py:444-523)."""
+        """One fixed training pose/view + one testing pose/view to JPG,
+        side by side with GT (ref: main_avatar.py:444-523; ids come from
+        eval_training_ids / eval_testing_ids as (pose_idx, view_idx))."""
         import cv2 as cv
-        eval_ids = self.opt["train"].get("eval_training_ids", [0])
         out_dir = os.path.join(self.net_ckpt_dir, "eval")
         os.makedirs(out_dir, exist_ok=True)
-        for tag, idx in (("training", eval_ids[0]),):
-            item = self.dataset[int(idx)]
+        specs = [("training",
+                  self.opt["train"].get("eval_training_ids", [0, 0])),
+                 ("testing", self.opt["train"].get("eval_testing_ids"))]
+        for tag, ids in specs:
+            if ids is None:
+                continue
+            pose_idx, view_idx = (int(ids[0]), int(ids[1])) \
+                if len(ids) > 1 else (int(ids[0]), 0)
+            try:
+                item = self.dataset.getitem(0, training=True,
+                                            pose_idx=pose_idx,
+                                            view_idx=view_idx, eval=True)
+            except Exception:
+                continue  # frame missing on disk
             items = self._items_to_device(item)
             out = self.avatar_net.render(
                 self.state.params, items, bg_color=(1.0, 1.0, 1.0),
