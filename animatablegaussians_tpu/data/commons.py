@@ -35,6 +35,18 @@ class ManoData:
             self.mano_face_closed + self.smpl_lhand_vert_id.shape[0]])
 
 
+def try_load_mano(mano_dir: Optional[str] = None) -> Optional["ManoData"]:
+    """ManoData if the index-map files exist, else None (datasets then omit
+    the mano item keys; hand-specific features require the files, as in the
+    reference which hard-requires them at dataset init,
+    ref: dataset/commons.py:8-19)."""
+    d = mano_dir or os.path.join(agt_config.PROJ_DIR, "smpl_files", "mano")
+    if not os.path.exists(os.path.join(d,
+                                       "smplx_lhand_to_mano_rhand.npz")):
+        return None
+    return ManoData(d)
+
+
 def _vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     fn = np.cross(verts[faces[:, 1]] - verts[faces[:, 0]],
                   verts[faces[:, 2]] - verts[faces[:, 0]])

@@ -72,7 +72,8 @@ class MvRgbDatasetBase:
                  load_smpl_pos_map: bool = False,
                  load_smpl_nml_map: bool = False, mode: str = "3dgs",
                  smpl_model_path: Optional[str] = None,
-                 precompute_device: str = "cpu"):
+                 precompute_device: str = "cpu",
+                 mano_dir: Optional[str] = None):
         self.data_dir = data_dir
         self.training = training
         self.subject_name = subject_name or os.path.basename(data_dir)
@@ -104,6 +105,28 @@ class MvRgbDatasetBase:
             self.filter_missing_files()
 
         self._precompute_smpl(smpl_model_path, precompute_device)
+
+        # MANO hand crops for nerf-mode (template with_hand training) and
+        # 3dgs synthesis items (ref: dataset_mv_rgb.py:94,231-236)
+        from animatablegaussians_tpu.data import commons
+        self.mano = commons.try_load_mano(mano_dir)
+        if self.mano is not None:
+            self._cano_mano = commons.generate_two_manos(
+                self.mano, self.cano_smpl["vertices"])
+
+    def _attach_mano(self, item: dict, live_verts: np.ndarray):
+        """Canonical + live MANO items on nerf / synthesis items
+        (ref: dataset_mv_rgb.py:231-236)."""
+        if self.mano is None:
+            return
+        from animatablegaussians_tpu.data import commons
+        lv, ln, rv, rn = self._cano_mano
+        item.update(left_cano_mano_v=lv, left_cano_mano_n=ln,
+                    right_cano_mano_v=rv, right_cano_mano_n=rn,
+                    mano_face_closed=self.mano.mano_face_closed)
+        lv, ln, rv, rn = commons.generate_two_manos(self.mano, live_verts)
+        item.update(left_live_mano_v=lv, left_live_mano_n=ln,
+                    right_live_mano_v=rv, right_live_mano_n=rn)
 
     # ------------------------------------------------------------------
     def _precompute_smpl(self, smpl_model_path, device: str):
@@ -264,7 +287,14 @@ class MvRgbDatasetBase:
             item["smpl_nml_map"] = np.concatenate(
                 [m[:, :half], m[:, half:]], axis=2)
 
-        if training:
+        if training and kwargs.get("skip_images", False):
+            # pose-map-only item (pretrain needs no camera images;
+            # ref pretrain also only consumes pos maps, main_avatar.py:266-326)
+            item.update(img_h=int(self.img_heights[view_idx]),
+                        img_w=int(self.img_widths[view_idx]),
+                        extr=self.extr_mats[view_idx],
+                        intr=self.intr_mats[view_idx])
+        elif training:
             color, mask = self.load_color_mask_images(pose_idx, view_idx)
             color = (color / 255.0).astype(np.float32)
             boundary, mask_bin = self.get_boundary_mask(mask)
@@ -294,6 +324,8 @@ class MvRgbDatasetBase:
                 intr=kwargs.get("intr", np.array(
                     [[550, 0, 256], [0, 550, 256], [0, 0, 1]], np.float32)),
                 extr=kwargs.get("extr", self._default_front_extr(item)))
+        if self.mode == "nerf" or (self.mode == "3dgs" and not training):
+            self._attach_mano(item, self.live_vertices[f])
         return item
 
     def _default_front_extr(self, item):

@@ -70,7 +70,8 @@ class PoseDataset:
                  fix_head_pose: bool = True, fix_hand_pose: bool = True,
                  denoise: bool = False, hand_pose_type: str = "ori",
                  constrain_leg_pose: bool = False,
-                 smpl_model_path: Optional[str] = None):
+                 smpl_model_path: Optional[str] = None,
+                 mano_dir: Optional[str] = None):
         self.data_path = data_path
         self.training = False
         self.gender = gender
@@ -118,6 +119,17 @@ class PoseDataset:
         self.smpl_shape = (np.zeros(10, np.float32) if smpl_shape is None
                            else np.asarray(smpl_shape, np.float32))
         self._precompute_smpl(smpl_model_path)
+
+        # canonical MANO hand crops, attached to every item — consumed by
+        # AvatarNet mean-hand blending and TemplateNet hand fusion
+        # (ref: dataset_pose.py:199-201,436-437,529)
+        from animatablegaussians_tpu.data import commons
+        self.mano = commons.try_load_mano(mano_dir)
+        if self.mano is not None:
+            (self.left_cano_mano_v, self.left_cano_mano_n,
+             self.right_cano_mano_v, self.right_cano_mano_n) = \
+                commons.generate_two_manos(self.mano,
+                                           self.cano_smpl["vertices"])
 
     # ------------------------------------------------------------------
     def _load_poses(self, data_path: str):
@@ -305,8 +317,19 @@ class PoseDataset:
             live_bounds=np.stack([lv.min(0) - 0.15,
                                   lv.max(0) + 0.15]).astype(np.float32),
         )
+        self._attach_mano(item)
         self.last_data_idx = data_idx
         return item
+
+    def _attach_mano(self, item: dict):
+        """Canonical MANO items (ref: dataset_pose.py:436-437,529)."""
+        if self.mano is None:
+            return
+        item.update(left_cano_mano_v=self.left_cano_mano_v,
+                    left_cano_mano_n=self.left_cano_mano_n,
+                    right_cano_mano_v=self.right_cano_mano_v,
+                    right_cano_mano_n=self.right_cano_mano_n,
+                    mano_face_closed=self.mano.mano_face_closed)
 
     def _camera(self, item, **kwargs):
         img_h = kwargs.get("img_h", 512)
@@ -380,5 +403,6 @@ class PoseDataset:
         v = self.cano_smpl["vertices"]
         item["live_bounds"] = np.stack([v.min(0) - 0.15,
                                         v.max(0) + 0.15]).astype(np.float32)
+        self._attach_mano(item)
         item.update(self._camera(item, **kwargs))
         return item

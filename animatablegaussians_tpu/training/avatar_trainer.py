@@ -150,7 +150,14 @@ def compute_losses(avatar_net, params, items, rng, iter_idx, *,
         terms["ssim_loss"] = sl
 
     w_lp = float(loss_weight.get("lpips", 0.0))
-    if w_lp > 0 and lpips_params is not None:
+    if w_lp > 0 and lpips_params is None:
+        # never skip silently: a run without the perceptual term trains a
+        # visibly different model (ref trains with LPIPS every iteration,
+        # main_avatar.py:229-236)
+        raise RuntimeError("loss_weight.lpips > 0 but lpips_params is None "
+                           "— pass weights or resolve them via "
+                           "training.lpips.resolve_lpips_params")
+    if w_lp > 0:
         def crop(use_random):
             r = rng_crop if use_random else None
             img_c, gt_c = L.crop_to_mask([image, gt], mask, patch_size, rng=r)

@@ -47,6 +47,13 @@ class AvatarTrainer:
             "ckpt_interval", dict(epoch=10, batch=50_000))
         self.eval_interval = opt["train"].get("eval_interval", 1000)
         self.log_interval = 10
+        if lpips_params is None:
+            # auto-resolve (hard error if lpips weight > 0 and no weights;
+            # the reference always trains with its vendored LPIPS,
+            # ref: main_avatar.py:341-344)
+            from animatablegaussians_tpu.training.lpips import (
+                resolve_lpips_params)
+            lpips_params = resolve_lpips_params(opt)
         self.lpips_params = lpips_params
         self.iter_idx = 0
 
@@ -114,7 +121,10 @@ class AvatarTrainer:
             jnp.zeros((), jnp.int32))
         n = len(self.dataset)
         for it in range(self.PRETRAIN_ITERS):
-            item = self.dataset[it % n]
+            # pose-map-only items: no camera image decode in this phase
+            # (ref pretrain also only reads pos maps, main_avatar.py:266-326)
+            item = self.dataset.getitem(it % n, training=True,
+                                        skip_images=True)
             pose_map = jnp.asarray(item["smpl_pos_map"][..., :3])
             state, losses = self.pretrain_step(state, pose_map)
             if it % 100 == 0:
@@ -205,8 +215,8 @@ class AvatarTrainer:
                 item = self.dataset.getitem(0, training=True,
                                             pose_idx=pose_idx,
                                             view_idx=view_idx, eval=True)
-            except Exception:
-                continue  # frame missing on disk
+            except FileNotFoundError:
+                continue  # frame missing on disk — anything else must raise
             items = self._items_to_device(item)
             out = self.avatar_net.render(
                 self.state.params, items, bg_color=(1.0, 1.0, 1.0),
@@ -226,10 +236,12 @@ class AvatarTrainer:
         if load_optm:
             self.state, meta = ck.load_checkpoint(path, self.state)
         else:
-            params, meta = ck.load_checkpoint(
-                os.path.join(path), self.state.params) \
-                if os.path.exists(os.path.join(path, "state.npz")) else \
-                (self.state.params, {})
+            if not os.path.exists(os.path.join(path, "state.npz")):
+                # a typo'd pretrained path must not silently train from
+                # random init (ref resume precedence: main_avatar.py:346-366)
+                raise FileNotFoundError(
+                    f"checkpoint not found: {os.path.join(path, 'state.npz')}")
+            params, meta = ck.load_checkpoint(path, self.state.params)
             self.state = at.TrainState(params, self.state.opt_state,
                                        self.state.iter_idx)
         self.iter_idx = int(meta.get("iter_idx", 0))

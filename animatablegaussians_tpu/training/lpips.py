@@ -155,6 +155,60 @@ def lpips(params: dict, img0: jnp.ndarray, img1: jnp.ndarray,
     return total
 
 
+def resolve_lpips_params(opt: dict) -> Optional[dict]:
+    """Resolve LPIPS weights for a training run from the config/convention,
+    mirroring how the reference always constructs its perceptual net with
+    vendored weights (ref: main_avatar.py:341-344, network/lpips/lpips.py).
+
+    Resolution order:
+      1. ``train.lpips_weights: {vgg: <vgg16.pth>, lin: <lin.pth>}`` —
+         explicit paths (torchvision vgg16 features state-dict + LPIPS v0.1
+         lin heads, the same files the reference vendors);
+      2. ``train.lpips_weights: random`` — architecture-correct random
+         params (tests / ablations; NOT a valid perceptual metric);
+      3. ``$AGT_LPIPS_WEIGHTS`` or ``<PROJ_DIR>/lpips_weights/`` containing
+         ``vgg16.pth`` and ``lin.pth`` (or ``vgg.pth`` for the lin heads).
+
+    Raises RuntimeError when ``loss_weight.lpips > 0`` but no weights can be
+    resolved — a silent skip would train a visibly different model.
+    """
+    import os
+
+    train = opt.get("train", {})
+    spec = train.get("lpips_weights")
+    w_lp = float(train.get("loss_weight", {}).get("lpips", 0.0))
+
+    if isinstance(spec, dict):
+        return load_torch_weights(spec["vgg"], spec["lin"])
+    if spec == "random":
+        return init_random(jax.random.PRNGKey(0))
+
+    from animatablegaussians_tpu import config as agt_config
+    candidates = []
+    env_dir = os.environ.get("AGT_LPIPS_WEIGHTS")
+    if env_dir:
+        candidates.append(env_dir)
+    candidates.append(os.path.join(agt_config.PROJ_DIR, "lpips_weights"))
+    for d in candidates:
+        vgg = os.path.join(d, "vgg16.pth")
+        if not os.path.exists(vgg):
+            continue
+        for lin_name in ("lin.pth", "vgg.pth"):
+            lin = os.path.join(d, lin_name)
+            if os.path.exists(lin):
+                return load_torch_weights(vgg, lin)
+
+    if w_lp > 0:
+        raise RuntimeError(
+            f"loss_weight.lpips = {w_lp} but no LPIPS weights were found. "
+            "Provide train.lpips_weights: {vgg: ..., lin: ...} in the "
+            "config, set $AGT_LPIPS_WEIGHTS to a directory containing "
+            "vgg16.pth and lin.pth, place them under "
+            "<PROJ_DIR>/lpips_weights/, or set train.lpips_weights: random "
+            "to opt out explicitly (not a valid metric).")
+    return None
+
+
 class LPIPS:
     """Convenience wrapper mirroring the reference's frozen module usage."""
 

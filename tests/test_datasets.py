@@ -38,6 +38,24 @@ def write_synthetic_smplx(path, seed=0):
     )
 
 
+def write_synthetic_mano(mano_dir, n_verts_total=V, n_hand=12, seed=3):
+    """SMPL-X-hand -> MANO vertex index maps + closed-fan faces in the
+    reference layout (ref: dataset/commons.py:8-19), scaled down to the
+    synthetic body model."""
+    os.makedirs(mano_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    lid = rng.choice(n_verts_total, n_hand, replace=False)
+    rid = rng.choice(n_verts_total, n_hand, replace=False)
+    np.savez(os.path.join(mano_dir, "smplx_lhand_to_mano_rhand.npz"),
+             smpl_vert_id_to_mano=lid.astype(np.int64))
+    np.savez(os.path.join(mano_dir, "smplx_rhand_to_mano_rhand.npz"),
+             smpl_vert_id_to_mano=rid.astype(np.int64))
+    faces = rng.integers(0, n_hand, (20, 3)).astype(np.int64)
+    np.savetxt(os.path.join(mano_dir, "mano_face_close.txt"), faces,
+               fmt="%d")
+    return mano_dir
+
+
 @pytest.fixture(scope="module")
 def capture_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("avatarrex")
@@ -133,6 +151,61 @@ def test_pose_dataset_thuman4_style(capture_dir, tmp_path):
     a_pose = ds.getitem_a_pose()
     np.testing.assert_allclose(
         a_pose["cano2live_jnt_mats"][0], np.eye(4), atol=1e-6)
+
+
+def test_pose_dataset_attaches_mano_items(capture_dir, tmp_path):
+    """fix_hand / with_hand need per-item canonical MANO crops
+    (ref: dataset_pose.py:199-201,436-437,529)."""
+    from animatablegaussians_tpu.data.pose_dataset import PoseDataset
+    _, smpl_path = capture_dir
+    mano_dir = write_synthetic_mano(str(tmp_path / "mano"))
+    rng = np.random.default_rng(7)
+    pose_path = str(tmp_path / "thuman4_pose_00.npz")
+    np.savez(pose_path,
+             global_orient=0.1 * rng.standard_normal((3, 3)).astype(
+                 np.float32),
+             transl=np.zeros((3, 3), np.float32),
+             body_pose=0.1 * rng.standard_normal((3, 63)).astype(np.float32))
+    ds = PoseDataset(pose_path, frame_range=[0, 3],
+                     smpl_model_path=smpl_path, mano_dir=mano_dir)
+    for item in (ds.getitem_fast(0), ds.getitem(1), ds.getitem_a_pose()):
+        for k in ("left_cano_mano_v", "left_cano_mano_n",
+                  "right_cano_mano_v", "right_cano_mano_n",
+                  "mano_face_closed"):
+            assert k in item, k
+        assert item["left_cano_mano_v"].shape == (12, 3)
+        n = np.linalg.norm(item["left_cano_mano_n"], axis=1)
+        ok = n > 0  # isolated verts (not in any synthetic face) stay 0
+        assert ok.any()
+        np.testing.assert_allclose(n[ok], 1.0, atol=1e-5)
+    # canonical crop indexes the canonical body vertices
+    lid = np.load(os.path.join(mano_dir,
+                               "smplx_lhand_to_mano_rhand.npz"))[
+        "smpl_vert_id_to_mano"]
+    np.testing.assert_allclose(ds.getitem_fast(0)["left_cano_mano_v"],
+                               ds.cano_smpl["vertices"][lid], atol=1e-6)
+
+
+def test_mv_dataset_attaches_mano_items(capture_dir, tmp_path):
+    """nerf mode (template with_hand) and 3dgs synthesis items carry cano +
+    live MANO crops (ref: dataset_mv_rgb.py:231-236)."""
+    from animatablegaussians_tpu.data import MvRgbDatasetAvatarReX
+    data_dir, smpl_path = capture_dir
+    mano_dir = write_synthetic_mano(str(tmp_path / "mano"))
+    ds = MvRgbDatasetAvatarReX(data_dir, frame_range=[0, 2],
+                               used_cam_ids=[0], mode="nerf",
+                               smpl_model_path=smpl_path, mano_dir=mano_dir)
+    item = ds[0]
+    for k in ("left_cano_mano_v", "right_cano_mano_n",
+              "left_live_mano_v", "right_live_mano_n"):
+        assert k in item, k
+    # 3dgs training items must NOT pay the mano cost (reference gates it)
+    ds2 = MvRgbDatasetAvatarReX(data_dir, frame_range=[0, 2],
+                                used_cam_ids=[0], mode="3dgs",
+                                smpl_model_path=smpl_path, mano_dir=mano_dir)
+    assert "left_cano_mano_v" not in ds2[0]
+    item3 = ds2.getitem(0, training=False)
+    assert "left_cano_mano_v" in item3 and "left_live_mano_v" in item3
 
 
 def test_loader_over_dataset(capture_dir):
