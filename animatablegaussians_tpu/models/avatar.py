@@ -312,7 +312,7 @@ class AvatarNet:
 
         ret = dict(rgb_map=out["render"], mask_map=out["mask"],
                    depth_map=out["depth"], offset=nonrigid_offset,
-                   pos_map=pos_map)
+                   pos_map=pos_map, n_overflow=out["n_overflow"])
         if not training:
             ret.update(cano_tex_map=color_map, posed_gaussians=gaussian_vals)
         return ret

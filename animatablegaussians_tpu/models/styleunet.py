@@ -34,8 +34,11 @@ from animatablegaussians_tpu.ops.upfirdn2d import (
 
 BLUR_KERNEL = (1, 3, 3, 1)
 
-# Conv precision: "highest" for checkpoint-parity paths; switchable to
-# "default" (bf16 passes on MXU) for training throughput.
+# Conv precision: "highest" for checkpoint-parity paths; "default" runs
+# bf16 passes on the MXU with f32 activations; "bf16" additionally keeps
+# activations in bf16 between layers (halves HBM traffic on the 512^2/1024^2
+# stages — they are bandwidth-bound at these channel counts) with f32
+# parameters and f32 demodulation/statistics.
 CONV_PRECISION = "highest"
 
 
@@ -49,10 +52,23 @@ def _prec():
             else jax.lax.Precision.DEFAULT)
 
 
+def _act_dtype():
+    return jnp.bfloat16 if CONV_PRECISION == "bf16" else None
+
+
+def _cast_act(*xs):
+    """Cast activations/weights into the compute dtype (no-op outside bf16
+    mode). Params stay f32 in the pytree; the cast's VJP returns f32 grads."""
+    dt = _act_dtype()
+    out = tuple(x if x is None or dt is None else x.astype(dt) for x in xs)
+    return out if len(out) > 1 else out[0]
+
+
 def conv2d(x, w, stride=1, padding=0):
     """NHWC x HWIO correlation, matching torch.conv2d semantics."""
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
+    x, w = _cast_act(x, w)
     return jax.lax.conv_general_dilated(
         x, w, (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_prec())
@@ -65,6 +81,7 @@ def conv_transpose2d(x, w, stride=2):
     kernel (exact gradient-of-conv semantics).
     """
     kh, kw = w.shape[0], w.shape[1]
+    x, w = _cast_act(x, w)
     w_flip = jnp.flip(w, (0, 1))
     return jax.lax.conv_general_dilated(
         x, w_flip, (1, 1),
@@ -132,6 +149,7 @@ def conv_layer(p, x, k, downsample_=False, activate=True):
         out = equal_conv2d(p["conv"], x, stride=1, padding=k // 2)
     if activate:
         out = fused_leaky_relu(out, p["act_bias"])
+        out = _cast_act(out)  # keep inter-stage activations in compute dtype
     return out
 
 
@@ -195,7 +213,7 @@ def styled_conv(p, x, style, noise, up=False):
     out = modulated_conv2d(p["conv"], x, style, demodulate=True, up=up)
     if noise is not None:
         out = out + p["noise_weight"] * noise
-    return fused_leaky_relu(out, p["act_bias"])
+    return _cast_act(fused_leaky_relu(out, p["act_bias"]))
 
 
 def to_rgb_init(key, in_ch, style_dim, out_ch):

@@ -4,9 +4,17 @@ contract: color, depth, alpha mask, radii.
 
 Composition:
     preprocess (XLA, autodiff) -> pack per-Gaussian rows -> binning (int) ->
-    gather per-tile lists (take; its VJP is the scatter-add the CUDA backward
-    does with atomics) -> tile blend (Pallas kernel or pure-JAX ref) ->
-    untile + background blend (XLA).
+    active-tile compaction (top-A tiles by count; empty tiles never reach
+    the kernels) -> gather per-tile lists -> tile blend (Pallas kernel or
+    pure-JAX ref) -> scatter tiles back + background blend (XLA).
+
+Gradient route: the VJP of the per-tile row gather is a scatter-add — the
+op the CUDA backward does with atomicAdd from every pixel (ref:
+backward.cu:555-598). XLA's TPU scatter cost is dominated by a per-index
+fixed cost that amortizes over wide rows (measured on v5e: 524k x 10-f32
+rows = 85 ms, 524k x 128-f32 rows = 35 ms), so the backward scatters
+lane-padded 128-wide rows and slices the 16 live channels after — combined
+with compaction this is ~10x cheaper than the round-1 full-grid scatter.
 """
 
 from __future__ import annotations
@@ -27,15 +35,16 @@ class RasterizeConfig:
     tile: int = 16          # pixels per tile side (ref: config.h BLOCK_X/Y)
     max_dup: int = 16       # static cap on tiles touched per Gaussian
     k_max: int = 512        # static cap on Gaussians per tile
+    # static cap on non-empty tiles actually blended (top-A by count);
+    # 0 disables compaction. Tiles beyond the cap render as background and
+    # are counted in n_overflow.
+    max_active_tiles: int = 6144
+    # lane width of the backward scatter rows (>=16; 128 = fastest on v5e)
+    scatter_pad: int = 128
     # "auto": Pallas kernel on TPU, pure-XLA reference blend elsewhere
     # (interpret-mode pallas emulation is pathologically slow to compile
     # on CPU); "pallas" | "ref" force a backend.
     backend: str = "auto"
-    # gradient route for the tile gather: "scatter" = plain take-VJP
-    # (XLA scatter-add; measured 0.37s at AvatarReX scale), "permute" =
-    # sort-inversion gathers (0.66s — TPU row-gather at 64B granularity
-    # loses to the scatter; kept for future pallas-gather work)
-    grad_gather: str = "scatter"
 
 
 def _pack_rows(pre, opacities, colors):
@@ -54,108 +63,51 @@ def _pack_rows(pre, opacities, colors):
 
 
 # ---------------------------------------------------------------------------
-# Scatter-free tile gather.
-#
-# The VJP of a plain `rows[tile_gid]` gather is an XLA scatter-add over
-# T*K entries — measured at ~335ms of a ~370ms splat backward at AvatarReX
-# scale (518k Gaussians, 1500x2048). The CUDA reference pays the same cost
-# as atomicAdd traffic (ref: backward.cu:555-598). Here the binning sort's
-# permutation is inverted instead, so the backward is three gathers + one
-# int sort + a max_dup-width segment sum: sorted position -> (tile, slot)
-# via searchsorted on `starts`, then position -> source entry via the
-# carried `sorted_src`, then depth-rank -> gaussian id via `order`.
+# Tile gather with a lane-padded scatter-add VJP.
 # ---------------------------------------------------------------------------
-
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _gather_tile_rows(rows, tile_gid, starts, sorted_src, sorted_key, order,
-                      k_max: int, max_dup: int):
-    """(N, 16) rows -> (T, 16, K) per-tile lane-major tile data."""
-    return jnp.swapaxes(rows[tile_gid], 1, 2)
-
-
-def _gtr_fwd(rows, tile_gid, starts, sorted_src, sorted_key, order,
-             k_max, max_dup):
-    out = _gather_tile_rows(rows, tile_gid, starts, sorted_src, sorted_key,
-                            order, k_max, max_dup)
-    return out, (tile_gid, starts, sorted_src, sorted_key, order,
-                 rows.shape[0])
-
-
-def _gtr_bwd(k_max, max_dup, res, g):
-    tile_gid, starts, sorted_src, sorted_key, order, N = res
-    g = jnp.swapaxes(g, 1, 2)                       # (T, K, C)
-    T, _, C = g.shape
-    ND = N * max_dup
-    s_idx = jnp.arange(ND, dtype=jnp.int32)
-
-    # (tile, slot) of each sorted position: the tile IS the sort key (no
-    # searchsorted — XLA's vectorized binary search costs ~0.8s at 8M);
-    # slot = position - tile range start.
-    t = jnp.minimum(sorted_key, T - 1)
-    k = s_idx - starts[jnp.minimum(sorted_key, T)]
-    valid = (sorted_key < T) & (k < k_max)
-    # linear (tile, slot) index per sorted position, invalid -> 0 w/ mask
-    tk = jnp.where(valid, t * k_max + jnp.minimum(k, k_max - 1), 0)
-
-    # invert the tile sort with a permutation scatter (unique indices, no
-    # accumulation — ~5ms where a pair sort costs ~1s)
-    inv_pos = jnp.zeros((ND,), jnp.int32).at[sorted_src].set(
-        s_idx, unique_indices=True)
-    tk_flat = tk[inv_pos]
-    valid_flat = valid[inv_pos]
-
-    # single fp row gather in flat entry order, then the per-rank dup sum
-    grad_flat = jnp.where(valid_flat[:, None],
-                          g.reshape(T * k_max, C)[tk_flat], 0.0)
-    per_rank = grad_flat.reshape(N, max_dup, C).sum(1)          # (N, C)
-    inv_order = jnp.zeros((N,), jnp.int32).at[order].set(
-        jnp.arange(N, dtype=jnp.int32), unique_indices=True)
-    grad_rows = per_rank[inv_order]
-    z = lambda a: jnp.zeros(a.shape, jax.dtypes.float0)
-    return (grad_rows, z(tile_gid), z(starts), z(sorted_src),
-            z(sorted_key), z(order))
-
-
-_gather_tile_rows.defvjp(_gtr_fwd, _gtr_bwd)
-
 
 _N_LIVE_CH = 10  # packed rows: [x y ca cb cc op r g b d | 6 pad lanes]
 
 
-@jax.custom_vjp
-def _gather_scatter10(rows, tile_gid):
-    """Plain tile gather whose backward scatter-adds only the 10 live
-    channels (the 6 pad lanes always carry zero gradient). Measured: same
-    0.37s as the full-width take-VJP at AvatarReX scale — XLA's TPU scatter
-    cost is per-index, not per-byte — kept because it is never slower and
-    shrinks the grad buffer."""
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_tiles(rows, tile_gid, scatter_pad: int):
+    """(N, 16) rows -> (A, 16, K) lane-major per-tile data. The backward
+    scatter-adds ``scatter_pad``-wide rows (semantics of the CUDA atomicAdd
+    accumulation, ref: backward.cu:555-598)."""
     return jnp.swapaxes(rows[tile_gid], 1, 2)
 
 
-def _gs10_fwd(rows, tile_gid):
-    return _gather_scatter10(rows, tile_gid), (tile_gid, rows.shape)
+def _gt_fwd(rows, tile_gid, scatter_pad):
+    return _gather_tiles(rows, tile_gid, scatter_pad), \
+        (tile_gid, rows.shape)
 
 
-def _gs10_bwd(res, g):
+def _gt_bwd(scatter_pad, res, g):
     tile_gid, rows_shape = res
-    g = jnp.swapaxes(g, 1, 2)                       # (T, K, 16)
+    N, C = rows_shape
+    g = jnp.swapaxes(g, 1, 2)                       # (A, K, 16)
     live = g[..., :_N_LIVE_CH].reshape(-1, _N_LIVE_CH)
-    grad10 = jnp.zeros((rows_shape[0], _N_LIVE_CH), g.dtype
-                       ).at[tile_gid.reshape(-1)].add(live)
-    grad = jnp.zeros(rows_shape, g.dtype).at[:, :_N_LIVE_CH].set(grad10)
+    pad = max(scatter_pad, _N_LIVE_CH)
+    up = jnp.concatenate(
+        [live, jnp.zeros((live.shape[0], pad - _N_LIVE_CH), g.dtype)],
+        axis=1)
+    acc = jnp.zeros((N, pad), g.dtype).at[tile_gid.reshape(-1)].add(up)
+    grad = jnp.zeros(rows_shape, g.dtype).at[:, :_N_LIVE_CH].set(
+        acc[:, :_N_LIVE_CH])
     return grad, jnp.zeros(tile_gid.shape, jax.dtypes.float0)
 
 
-_gather_scatter10.defvjp(_gs10_fwd, _gs10_bwd)
+_gather_tiles.defvjp(_gt_fwd, _gt_bwd)
 
 
-def _blend(tile_data, tile_count, grid_x, tile, backend):
+def _blend(tile_data, tile_count, tile_ids, grid_x, tile, backend):
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "ref"
     if backend == "pallas":
         from .blend_pallas import blend_tiles
-        return blend_tiles(tile_data, tile_count, grid_x, tile)
-    return blend_tiles_ref(tile_data, tile_count, grid_x, tile)
+        return blend_tiles(tile_data, tile_count, tile_ids, grid_x, tile)
+    return blend_tiles_ref(tile_data, tile_count, grid_x, tile,
+                           tile_ids=tile_ids)
 
 
 def _untile(img_t, grid_x, grid_y, tile, img_h, img_w):
@@ -204,20 +156,37 @@ def render(
                          img_w, img_h, tile=config.tile,
                          max_dup=config.max_dup, k_max=config.k_max)
 
-    # Gather per-tile rows as (T, 16, K) lane-major tile data.
-    if config.grad_gather == "permute":
-        tile_data = _gather_tile_rows(rows, bins.tile_gid, bins.starts,
-                                      bins.sorted_src, bins.sorted_key,
-                                      bins.order, config.k_max,
-                                      config.max_dup)
-    else:
-        tile_data = _gather_scatter10(rows, bins.tile_gid)
-
     grid_x = -(-img_w // config.tile)
     grid_y = -(-img_h // config.tile)
+    T = grid_x * grid_y
+    P = config.tile * config.tile
 
-    out = _blend(tile_data, bins.tile_count, grid_x, config.tile,
-                 config.backend)                       # (T, P, 8)
+    # Active-tile compaction: the kernels and the gradient scatter only see
+    # the top-A tiles by Gaussian count (the reference's grid covers every
+    # tile but empty tiles exit renderCUDA immediately; here they must not
+    # occupy static shape at all).
+    A = min(config.max_active_tiles or T, T)
+    n_overflow = bins.n_overflow
+    if A < T:
+        counts_a, tile_ids = jax.lax.top_k(bins.tile_count, A)
+        tile_gid = bins.tile_gid[tile_ids]
+        # entries in tiles beyond the cap are dropped: count them
+        n_overflow = n_overflow + (jnp.sum(bins.tile_count)
+                                   - jnp.sum(counts_a))
+    else:
+        counts_a, tile_ids = bins.tile_count, jnp.arange(T, dtype=jnp.int32)
+        tile_gid = bins.tile_gid
+
+    tile_data = _gather_tiles(rows, tile_gid, config.scatter_pad)
+
+    out_a = _blend(tile_data, counts_a, tile_ids, grid_x, config.tile,
+                   config.backend)                     # (A, P, 8)
+
+    if A < T:
+        base = jnp.zeros((T, P, 8), jnp.float32).at[:, :, 4].set(1.0)
+        out = base.at[tile_ids].set(out_a, unique_indices=True)
+    else:
+        out = out_a
 
     untile = lambda ch: _untile(out[:, :, ch], grid_x, grid_y, config.tile,
                                 img_h, img_w)
@@ -230,7 +199,7 @@ def render(
     return dict(render=color, depth=depth, mask=alpha, radii=pre.radii,
                 visibility_filter=pre.radii > 0,   # ref: renderer.py:104
                 means2d=pre.means2d,               # viewspace positions
-                n_overflow=bins.n_overflow)
+                n_overflow=n_overflow)
 
 
 def precompute_sh_colors(shs: jnp.ndarray, max_sh_degree: int,

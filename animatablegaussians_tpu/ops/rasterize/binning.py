@@ -30,7 +30,7 @@ class TileBins(NamedTuple):
     tile_count: jnp.ndarray   # (T,) int32 number of valid entries (capped)
     n_overflow: jnp.ndarray   # () int32: dropped (gaussian,tile) pairs
                               # (rect cap + per-tile cap)
-    # bookkeeping for the scatter-free gradient path (api._gather_tile_rows):
+    # bookkeeping retained from the stable sort (depth order inversion etc.):
     starts: jnp.ndarray       # (T+1,) int32 per-tile range starts in the
                               # tile-sorted entry array
     sorted_src: jnp.ndarray   # (N*max_dup,) int32: flat (rank*D+d) source

@@ -111,10 +111,13 @@ def _transmittance(alpha, t_carry):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(count_ref, data_ref, out_ref, *, grid_x, tile, nblocks):
+def _fwd_kernel(count_ref, ids_ref, data_ref, out_ref, *, grid_x, tile,
+                nblocks):
     P = tile * tile
     t = pl.program_id(0)
-    pxx, pxy = _pixel_coords(t, grid_x, tile, P)
+    # global tile id (active-tile compaction reorders rows; ids restore the
+    # pixel-space position), scalar-prefetched in SMEM
+    pxx, pxy = _pixel_coords(ids_ref[t], grid_x, tile, P)
     count = count_ref[t]  # scalar-prefetched (T,) counts in SMEM
 
     out_ref[0] = jnp.zeros((P, 8), jnp.float32)
@@ -138,18 +141,18 @@ def _fwd_kernel(count_ref, data_ref, out_ref, *, grid_x, tile, nblocks):
             out_ref[0, :, 4] = t_new
 
 
-def _fwd_pallas(tile_data, tile_count, grid_x: int, tile: int):
+def _fwd_pallas(tile_data, tile_count, tile_ids, grid_x: int, tile: int):
     T, _, K = tile_data.shape
     assert K % KB == 0, f"k_max must be a multiple of {KB}"
     P = tile * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, 16, K), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((1, 16, K), lambda t, c, i: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, P, 8), lambda t, c: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, P, 8), lambda t, c, i: (t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -157,18 +160,18 @@ def _fwd_pallas(tile_data, tile_count, grid_x: int, tile: int):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, P, 8), jnp.float32),
         interpret=_interpret(),
-    )(tile_count.astype(jnp.int32), tile_data)
+    )(tile_count.astype(jnp.int32), tile_ids.astype(jnp.int32), tile_data)
 
 
 # ---------------------------------------------------------------------------
 # Backward (recompute)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(count_ref, data_ref, res_ref, cot_ref, grad_ref, carry_ref,
-                *, grid_x, tile, nblocks):
+def _bwd_kernel(count_ref, ids_ref, data_ref, res_ref, cot_ref, grad_ref,
+                carry_ref, *, grid_x, tile, nblocks):
     P = tile * tile
     t = pl.program_id(0)
-    pxx, pxy = _pixel_coords(t, grid_x, tile, P)
+    pxx, pxy = _pixel_coords(ids_ref[t], grid_x, tile, P)
     count = count_ref[t]  # scalar-prefetched (T,) counts in SMEM
 
     grad_ref[0] = jnp.zeros_like(grad_ref[0])
@@ -237,21 +240,22 @@ def _bwd_kernel(count_ref, data_ref, res_ref, cot_ref, grad_ref, carry_ref,
                 carry_ref[:, 1 + i] = new_prefix[i]
 
 
-def _bwd_pallas(tile_data, tile_count, out, cot, grid_x: int, tile: int):
+def _bwd_pallas(tile_data, tile_count, tile_ids, out, cot, grid_x: int,
+                tile: int):
     T, _, K = tile_data.shape
     P = tile * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, 16, K), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((1, 16, K), lambda t, c, i: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 8), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((1, P, 8), lambda t, c, i: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 8), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((1, P, 8), lambda t, c, i: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 16, K), lambda t, c: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, 16, K), lambda t, c, i: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((P, 8), jnp.float32)],
     )
@@ -260,30 +264,34 @@ def _bwd_pallas(tile_data, tile_count, out, cot, grid_x: int, tile: int):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, 16, K), jnp.float32),
         interpret=_interpret(),
-    )(tile_count.astype(jnp.int32), tile_data, out, cot)
+    )(tile_count.astype(jnp.int32), tile_ids.astype(jnp.int32), tile_data,
+      out, cot)
 
 
 # ---------------------------------------------------------------------------
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def blend_tiles(tile_data, tile_count, grid_x: int, tile: int = 16):
-    """(T, 16, K) packed tile data + (T,) counts -> (T, P, 8) blended
-    [r, g, b, depth, T_final, 0, 0, 0] per pixel."""
-    return _fwd_pallas(tile_data, tile_count, grid_x, tile)
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def blend_tiles(tile_data, tile_count, tile_ids, grid_x: int,
+                tile: int = 16):
+    """(T, 16, K) packed tile data + (T,) counts + (T,) global tile ids ->
+    (T, P, 8) blended [r, g, b, depth, T_final, 0, 0, 0] per pixel."""
+    return _fwd_pallas(tile_data, tile_count, tile_ids, grid_x, tile)
 
 
-def _blend_fwd(tile_data, tile_count, grid_x, tile):
-    out = _fwd_pallas(tile_data, tile_count, grid_x, tile)
-    return out, (tile_data, tile_count, out)
+def _blend_fwd(tile_data, tile_count, tile_ids, grid_x, tile):
+    out = _fwd_pallas(tile_data, tile_count, tile_ids, grid_x, tile)
+    return out, (tile_data, tile_count, tile_ids, out)
 
 
 def _blend_bwd(grid_x, tile, residuals, cot):
-    tile_data, tile_count, out = residuals
-    gdata = _bwd_pallas(tile_data, tile_count, out, cot, grid_x, tile)
+    tile_data, tile_count, tile_ids, out = residuals
+    gdata = _bwd_pallas(tile_data, tile_count, tile_ids, out, cot,
+                        grid_x, tile)
     gcount = jnp.zeros(tile_count.shape, jax.dtypes.float0)
-    return gdata, gcount
+    gids = jnp.zeros(tile_ids.shape, jax.dtypes.float0)
+    return gdata, gcount, gids
 
 
 blend_tiles.defvjp(_blend_fwd, _blend_bwd)

@@ -41,13 +41,15 @@ def blend_tiles_ref(
     tile_count: jnp.ndarray,   # (T,) int32
     grid_x: int,
     tile: int = 16,
+    tile_ids: jnp.ndarray = None,  # (T,) int32 global tile index per row
+                                   # (active-tile compaction); default iota
 ) -> jnp.ndarray:
     """Returns (T, P, 8) with cols [r, g, b, depth, T_final, 0, 0, 0]."""
     T, _, K = tile_data.shape
     P = tile * tile
     px_local, py_local = pixel_coords(tile)
 
-    tids = jnp.arange(T)
+    tids = jnp.arange(T) if tile_ids is None else tile_ids
     ox = (tids % grid_x * tile).astype(jnp.float32)
     oy = (tids // grid_x * tile).astype(jnp.float32)
 

@@ -201,6 +201,28 @@ def run_test(trainer, opt: dict):
             cv.imwrite(os.path.join(output_dir, "cano_tex_map",
                                     "%08d.jpg" % item["data_idx"]),
                        (tex * 255).astype(np.uint8))
+        if opt_test.get("render_skeleton", False):
+            # ball+cylinder skeleton overlay, phong-shaded on white
+            # (ref: main_avatar.py:699-711)
+            from animatablegaussians_tpu.utils.mesh_renderer import Renderer
+            from animatablegaussians_tpu.utils.visualize_skeletons import \
+                construct_skeletons
+            from animatablegaussians_tpu.data.commons import _vertex_normals
+            skel_v, skel_f = construct_skeletons(
+                np.asarray(item["joints"]), np.asarray(item["kin_parent"]))
+            normals = _vertex_normals(skel_v, skel_f)
+            geo = Renderer(img_w, img_h, shader_name="phong_geometry",
+                           bg_color=(1, 1, 1))
+            geo.set_camera(extr, intr)
+            geo.set_model(skel_v[skel_f.reshape(-1)],
+                          normals[skel_f.reshape(-1)])
+            skel_img = np.clip(geo.render()[:, :, :3], 0, 1)
+            os.makedirs(os.path.join(output_dir, "live_skeleton"),
+                        exist_ok=True)
+            cv.imwrite(os.path.join(output_dir, "live_skeleton",
+                                    "%08d.jpg" % item["data_idx"]),
+                       (skel_img * 255).astype(np.uint8))
+
         if opt_test.get("save_ply", False):
             os.makedirs(os.path.join(output_dir, "posed_gaussians"),
                         exist_ok=True)

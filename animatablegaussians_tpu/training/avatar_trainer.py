@@ -175,6 +175,12 @@ def compute_losses(avatar_net, params, items, rng, iter_idx, *,
     total += float(loss_weight.get("offset", 0.0)) * ol
     terms["offset_loss"] = ol
     terms["total_loss"] = total
+    # diagnostics: (gaussian, tile) pairs dropped by the static binning caps
+    # (the CUDA reference sizes its buffers dynamically and never drops,
+    # rasterizer_impl.cu:281-286 — nonzero here means caps need raising)
+    if "n_overflow" in out:
+        terms["n_overflow"] = jax.lax.stop_gradient(
+            out["n_overflow"]).astype(jnp.float32)
     return total, terms
 
 

@@ -82,11 +82,30 @@ class AvatarTrainer:
                        for x in jax.tree.leaves(self.params))
         print(f"# Parameter number of AvatarNet is {n_params}")
 
-        self.train_step = at.make_train_step(
-            self.avatar_net, self.optimizer, loss_weight=self.loss_weight,
-            lpips_params=self.lpips_params,
-            random_bg_color=self.random_bg_color,
-            patch_size=self.PATCH_SIZE, img_w=img_w, img_h=img_h)
+        # data parallelism over (pose, view) items: one item per device,
+        # grads pmean-ed over the mesh (the reference is strictly one GPU,
+        # SURVEY.md §2.9). Falls back to single-device when the dataset is
+        # smaller than the mesh.
+        self.n_devices = len(jax.devices())
+        self.use_dp = (self.n_devices > 1
+                       and len(self.dataset) >= self.n_devices)
+        step_kw = dict(loss_weight=self.loss_weight,
+                       lpips_params=self.lpips_params,
+                       random_bg_color=self.random_bg_color,
+                       patch_size=self.PATCH_SIZE, img_w=img_w, img_h=img_h)
+        if self.use_dp:
+            from animatablegaussians_tpu.parallel import data_parallel as dp
+            self.mesh = dp.make_mesh()
+            per_example = at.make_train_step(
+                self.avatar_net, self.optimizer, axis_name=dp.AXIS,
+                **step_kw)
+            self.train_step = dp.make_dp_train_step(per_example, self.mesh)
+            print(f"# Data-parallel over {self.n_devices} devices "
+                  f"(per-chip batch 1, grad pmean)")
+        else:
+            self.mesh = None
+            self.train_step = at.make_train_step(
+                self.avatar_net, self.optimizer, **step_kw)
         self.pretrain_step = at.make_pretrain_step(
             self.avatar_net,
             at.make_optimizer(5e-4, self.PRETRAIN_ITERS))
@@ -113,7 +132,9 @@ class AvatarTrainer:
         return {k: jnp.asarray(v) for k, v in item.items() if k not in drop}
 
     def pretrain(self):
-        """(ref: main_avatar.py:266-326)."""
+        """(ref: main_avatar.py:266-326). Single-device phase: pose-map
+        regression is seconds per 100 iters; keep it off the mesh."""
+        self.state = jax.device_get(self.state)  # host round trip (see train)
         state = at.TrainState(
             self.state.params,
             at.make_optimizer(5e-4, self.PRETRAIN_ITERS).init(
@@ -153,7 +174,20 @@ class AvatarTrainer:
             writer = None
         loss_txt = open(os.path.join(self.net_ckpt_dir, "loss.txt"), "a")
 
-        loader = PrefetchLoader(self.dataset, batch_size=1, shuffle=True,
+        batch_size = self.n_devices if self.use_dp else 1
+        if self.use_dp:
+            from animatablegaussians_tpu.parallel import data_parallel as dp
+            drop = {"img_w", "img_h", "item_idx", "data_idx", "smpl_faces",
+                    "kin_parent"}
+            put = lambda b: dp.shard_batch(
+                self.mesh, {k: v for k, v in b.items() if k not in drop})
+            # params/opt state start on host (init / ckpt load / pretrain);
+            # the jitted dp step's in_shardings replicate them on first call
+            self.state = jax.device_get(self.state)
+        else:
+            put = None
+        loader = PrefetchLoader(self.dataset, batch_size=batch_size,
+                                shuffle=True, device_put_fn=put,
                                 num_threads=self.opt["train"].get(
                                     "num_workers", 8))
         rng = jax.random.PRNGKey(31359)
@@ -163,11 +197,17 @@ class AvatarTrainer:
         while self.iter_idx < self.ITER_NUM and epoch_idx < num_epochs:
             epoch_idx += 1
             for batch in loader:
-                item = {k: v[0] for k, v in batch.items()}
-                items = self._items_to_device(item)
-                rng, step_rng = jax.random.split(rng)
-                self.state, terms = self.train_step(self.state, items,
-                                                    step_rng)
+                if self.use_dp:
+                    rng, sub = jax.random.split(rng)
+                    rngs = jax.random.split(sub, self.n_devices)
+                    self.state, terms = self.train_step(self.state, batch,
+                                                        rngs)
+                else:
+                    item = {k: v[0] for k, v in batch.items()}
+                    items = self._items_to_device(item)
+                    rng, step_rng = jax.random.split(rng)
+                    self.state, terms = self.train_step(self.state, items,
+                                                        step_rng)
                 self.iter_idx = int(self.state.iter_idx)
 
                 if self.iter_idx % self.log_interval == 0:
@@ -218,8 +258,10 @@ class AvatarTrainer:
             except FileNotFoundError:
                 continue  # frame missing on disk — anything else must raise
             items = self._items_to_device(item)
+            params = (jax.device_get(self.state.params) if self.use_dp
+                      else self.state.params)  # eval runs on the host device
             out = self.avatar_net.render(
-                self.state.params, items, bg_color=(1.0, 1.0, 1.0),
+                params, items, bg_color=(1.0, 1.0, 1.0),
                 img_w=self.img_w, img_h=self.img_h)
             rgb = np.clip(np.asarray(out["rgb_map"]), 0, 1)
             gt = np.asarray(item["color_img"])

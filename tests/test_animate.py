@@ -37,6 +37,7 @@ def test_run_test_animates_poses(full_capture, tmp_path):
         img_scale=0.125,            # 128^2 output
         n_pca=-1,                   # too few frames for PCA here
         save_ply=True,
+        render_skeleton=True,
         output_dir=str(tmp_path / "out"),
         prev_ckpt=None,
     )
@@ -47,6 +48,10 @@ def test_run_test_animates_poses(full_capture, tmp_path):
     masks = sorted(os.listdir(os.path.join(out_dir, "mask_map")))
     plys = sorted(os.listdir(os.path.join(out_dir, "posed_gaussians")))
     assert len(rgbs) == 2 and len(masks) == 2 and len(plys) == 2
+    skels = sorted(os.listdir(os.path.join(out_dir, "live_skeleton")))
+    assert len(skels) == 2  # ref: main_avatar.py:699-711
+    skel = cv.imread(os.path.join(out_dir, "live_skeleton", skels[0]))
+    assert skel is not None and skel.min() < 250  # something was drawn
 
     img = cv.imread(os.path.join(out_dir, "rgb_map", rgbs[0]))
     assert img is not None and img.shape == (128, 128, 3)

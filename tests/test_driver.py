@@ -17,7 +17,7 @@ def full_capture(tmp_path_factory):
     from animatablegaussians_tpu.utils import synthetic
 
     d = tmp_path_factory.mktemp("capture")
-    n_frames, cams = 3, ["cam00", "cam01"]
+    n_frames, cams = 4, ["cam00", "cam01"]
     rng = np.random.default_rng(0)
 
     import json
@@ -118,3 +118,67 @@ def test_avatar_trainer_end_to_end(full_capture, tmp_path):
     trainer2 = AvatarTrainer(opt)
     trainer2.load_ckpt(os.path.join(trainer.net_ckpt_dir, "epoch_latest"))
     assert trainer2.iter_idx == 6
+
+
+def test_data_parallel_trainer(full_capture, tmp_path):
+    """DP path over the 8-virtual-CPU-device mesh (conftest): the real
+    AvatarTrainer.train() trains a step with one item per device, and one
+    dp step on 8 copies of the same item with the same rng equals the
+    single-device step exactly (pmean of identical grads)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from animatablegaussians_tpu.training.driver import AvatarTrainer
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs a multi-device mesh")
+
+    data_dir, smpl_path = full_capture
+
+    # 4 frames x 2 cams = 8 items -> DP engages (one item per device)
+    opt = _make_opt(data_dir, smpl_path, str(tmp_path / "dp_ckpt"))
+    opt["train"]["data"]["frame_range"] = [0, 4]
+    trainer = AvatarTrainer(opt)
+    assert trainer.use_dp and trainer.n_devices == len(jax.devices())
+
+    trainer.train(num_epochs=2)
+    # 8 items / 8 devices = 1 global step per epoch
+    assert trainer.iter_idx == 2
+    assert os.path.exists(os.path.join(trainer.net_ckpt_dir, "epoch_latest",
+                                       "state.npz"))
+
+    # equality: dp step on replicated item == single-device step
+    opt_s = _make_opt(data_dir, smpl_path, str(tmp_path / "s_ckpt"))
+    opt_s["train"]["data"]["frame_range"] = [0, 3]  # 6 items -> single-dev
+    single = AvatarTrainer(opt_s)
+    assert not single.use_dp
+    # identical init (same seed/net config)
+    chex = jax.tree.map(lambda a, b: np.allclose(np.asarray(a),
+                                                 np.asarray(b)),
+                        jax.device_get(single.state.params),
+                        jax.device_get(trainer.state.params))
+    # (params already trained 2 steps on trainer; only structure must match)
+    del chex
+
+    item = single.dataset.getitem(0, training=True)
+    items = single._items_to_device(item)
+    rng = jax.random.PRNGKey(7)
+    s_state, s_terms = single.train_step(single.state, items, rng)
+
+    fresh = AvatarTrainer(opt)  # fresh DP trainer, same init seed
+    batch = {k: jnp.stack([jnp.asarray(v)] * fresh.n_devices)
+             for k, v in items.items()}
+    rngs = jnp.stack([rng] * fresh.n_devices)
+    d_state, d_terms = fresh.train_step(jax.device_get(fresh.state), batch,
+                                        rngs)
+
+    for k in s_terms:
+        np.testing.assert_allclose(np.asarray(d_terms[k]),
+                                   np.asarray(s_terms[k]), rtol=2e-4,
+                                   atol=1e-5, err_msg=k)
+    flat_s = jax.tree_util.tree_leaves(jax.device_get(s_state.params))
+    flat_d = jax.tree_util.tree_leaves(jax.device_get(d_state.params))
+    for a, b in zip(flat_s, flat_d):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4,
+                                   atol=2e-5)

@@ -1,0 +1,181 @@
+"""Parity against the ACTUAL reference torch code at /root/reference.
+
+These tests import the reference implementation (torch CPU — the CUDA
+extension imports are stubbed; both reference ops have CPU fallbacks,
+ref: network/styleunet/fused_act.py:118, upfirdn2d.py:177-181) and compare:
+
+  * smplx.lbs.lbs (ref: smplx/lbs.py:152-252) — vertices, joints, and the
+    per-joint affine mats A on synthetic model tensors;
+  * network.styleunet.dual_styleunet.DualStyleUNet — a full forward with
+    random torch weights exported through our torch-checkpoint importer.
+
+This is the only ground truth available in this environment for the
+"<= 0.1 dB PSNR delta with imported torch checkpoints" target.
+
+Skipped automatically when /root/reference is absent (public CI).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not mounted")
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    """Import the reference packages with the CUDA extension modules stubbed
+    (never called on the CPU paths)."""
+    for name in ("fused", "upfirdn2d"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.path.insert(0, REF)
+    try:
+        import smplx as ref_smplx  # noqa: F401
+        from network.styleunet import dual_styleunet as ref_dsu
+        yield ref_smplx, ref_dsu
+    finally:
+        sys.path.remove(REF)
+
+
+def test_lbs_matches_reference(ref_modules):
+    """verts/joints/A vs smplx/lbs.py:152-252 (return_affine_mat=True)."""
+    ref_smplx, _ = ref_modules
+    from animatablegaussians_tpu.models.smplx.lbs import lbs as our_lbs
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    B, V, J, NB = 2, 80, 24, 10
+    parents = np.zeros(J, np.int64)
+    for j in range(1, J):
+        parents[j] = rng.integers(0, j)
+
+    v_template = rng.standard_normal((V, 3)).astype(np.float32)
+    shapedirs = 0.03 * rng.standard_normal((V, 3, NB)).astype(np.float32)
+    posedirs_t = 0.01 * rng.standard_normal(
+        ((J - 1) * 9, V * 3)).astype(np.float32)          # torch layout (P, V*3)
+    J_regressor = rng.random((J, V)).astype(np.float32)
+    J_regressor /= J_regressor.sum(1, keepdims=True)
+    weights = rng.random((V, J)).astype(np.float32)
+    weights /= weights.sum(1, keepdims=True)
+
+    betas = 0.5 * rng.standard_normal((B, NB)).astype(np.float32)
+    pose = 0.4 * rng.standard_normal((B, J * 3)).astype(np.float32)
+
+    t = lambda a: torch.from_numpy(np.asarray(a))
+    with torch.no_grad():
+        rv, rj, ra = ref_smplx.lbs.lbs(
+            t(betas), t(pose), t(v_template)[None].expand(B, -1, -1),
+            t(shapedirs), t(posedirs_t), t(J_regressor), t(parents),
+            t(weights), pose2rot=True, return_affine_mat=True)
+
+    ov, oj, oa = our_lbs(
+        jnp.asarray(betas), jnp.asarray(pose), jnp.asarray(v_template),
+        jnp.asarray(shapedirs), jnp.asarray(posedirs_t),
+        jnp.asarray(J_regressor), jnp.asarray(parents),
+        jnp.asarray(weights))
+
+    np.testing.assert_allclose(np.asarray(ov), rv.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(oj), rj.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(oa), ra.numpy(), atol=2e-5)
+
+
+def test_dual_styleunet_matches_reference(ref_modules):
+    """Full-net forward agreement with random torch weights exported through
+    import_dual_styleunet (ref: network/styleunet/dual_styleunet.py:636-906,
+    fixed noise, single constant style)."""
+    _, ref_dsu = ref_modules
+    from animatablegaussians_tpu.models import styleunet as su
+    from animatablegaussians_tpu.training.checkpoint import \
+        import_dual_styleunet
+    import jax.numpy as jnp
+
+    torch.manual_seed(0)
+    kw = dict(inp_size=64, inp_ch=3, out_ch=3, out_size=64,
+              style_dim=64, n_mlp=2)
+    ref_net = ref_dsu.DualStyleUNet(**kw).eval()
+
+    sd = {f"net.{k}": v.detach().numpy()
+          for k, v in ref_net.state_dict().items()}
+
+    our_net = su.DualStyleUNet(**kw)
+    params = import_dual_styleunet(sd, "net", our_net)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)  # NHWC
+    style = (np.ones((1, 64)) / np.sqrt(64)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_net(
+            [torch.from_numpy(style)],
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            randomize_noise=False)[0]
+    ref_out = ref_out.numpy().transpose(0, 2, 3, 1)          # NHWC, 2*out_ch
+
+    old_prec = su.CONV_PRECISION
+    su.set_conv_precision("highest")
+    try:
+        our_out = np.asarray(our_net.apply(params, jnp.asarray(style),
+                                           jnp.asarray(x)))
+    finally:
+        su.set_conv_precision(old_prec)
+
+    assert our_out.shape == ref_out.shape
+    np.testing.assert_allclose(our_out, ref_out, atol=2e-4,
+                               err_msg="DualStyleUNet forward diverges from "
+                                       "the torch reference")
+
+
+def test_dual_styleunet_viewdir_injection_matches_reference(ref_modules):
+    """view_feature add at the i==8 feature level must match
+    (ref: dual_styleunet.py:881-883,900-902). Needs out_size >= 128 so the
+    decoder reaches a 5th stage."""
+    _, ref_dsu = ref_modules
+    from animatablegaussians_tpu.models import styleunet as su
+    from animatablegaussians_tpu.training.checkpoint import \
+        import_dual_styleunet
+    import jax.numpy as jnp
+
+    torch.manual_seed(1)
+    kw = dict(inp_size=64, inp_ch=3, out_ch=2, out_size=256,
+              style_dim=32, n_mlp=2)
+    ref_net = ref_dsu.DualStyleUNet(**kw).eval()
+    sd = {f"net.{k}": v.detach().numpy()
+          for k, v in ref_net.state_dict().items()}
+    our_net = su.DualStyleUNet(**kw)
+    params = import_dual_styleunet(sd, "net", our_net)
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    style = rng.standard_normal((1, 32)).astype(np.float32)
+    # view features at an arbitrary resolution; both impls resize to the
+    # i==8 feature map bilinearly
+    vf1 = rng.standard_normal((1, 16, 16, 512)).astype(np.float32)
+    vf2 = rng.standard_normal((1, 16, 16, 512)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_net(
+            [torch.from_numpy(style)],
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            randomize_noise=False,
+            view_feature1=torch.from_numpy(vf1.transpose(0, 3, 1, 2)),
+            view_feature2=torch.from_numpy(vf2.transpose(0, 3, 1, 2)))[0]
+    ref_out = ref_out.numpy().transpose(0, 2, 3, 1)
+
+    old_prec = su.CONV_PRECISION
+    su.set_conv_precision("highest")
+    try:
+        our_out = np.asarray(our_net.apply(
+            params, jnp.asarray(style), jnp.asarray(x),
+            view_feature1=jnp.asarray(vf1), view_feature2=jnp.asarray(vf2)))
+    finally:
+        su.set_conv_precision(old_prec)
+
+    np.testing.assert_allclose(our_out, ref_out, atol=5e-4)
