@@ -45,6 +45,8 @@ CONV_PRECISION = "highest"
 def set_conv_precision(p: str):
     global CONV_PRECISION
     CONV_PRECISION = p
+    from animatablegaussians_tpu.ops import upfirdn2d as _uf
+    _uf.set_fir_precision(p)
 
 
 def _prec():

@@ -30,13 +30,6 @@ class TileBins(NamedTuple):
     tile_count: jnp.ndarray   # (T,) int32 number of valid entries (capped)
     n_overflow: jnp.ndarray   # () int32: dropped (gaussian,tile) pairs
                               # (rect cap + per-tile cap)
-    # bookkeeping retained from the stable sort (depth order inversion etc.):
-    starts: jnp.ndarray       # (T+1,) int32 per-tile range starts in the
-                              # tile-sorted entry array
-    sorted_src: jnp.ndarray   # (N*max_dup,) int32: flat (rank*D+d) source
-                              # entry at each sorted position
-    sorted_key: jnp.ndarray   # (N*max_dup,) int32 tile id per sorted
-                              # position (sentinel T for invalid)
     order: jnp.ndarray        # (N,) int32 depth order: rank -> gaussian id
 
 
@@ -91,12 +84,9 @@ def bin_gaussians(
     key = jnp.where(dup_valid, tile_id, T).astype(jnp.int32)   # sentinel T
     gid = jnp.broadcast_to(order[:, None], key.shape)
 
-    # 3. Stable tile sort (preserves depth order within tiles). The flat
-    # source index rides along so the gradient path can invert the
-    # permutation with gathers instead of a scatter-add.
-    src = jnp.arange(N * max_dup, dtype=jnp.int32)
-    sorted_key, sorted_gid, sorted_src = jax.lax.sort(
-        (key.reshape(-1), gid.reshape(-1), src), num_keys=1, is_stable=True)
+    # 3. Stable tile sort (preserves depth order within tiles).
+    sorted_key, sorted_gid = jax.lax.sort(
+        (key.reshape(-1), gid.reshape(-1)), num_keys=1, is_stable=True)
 
     # 4. Ranges + static-K per-tile lists.
     starts = jnp.searchsorted(sorted_key, jnp.arange(T + 1, dtype=jnp.int32),
@@ -112,5 +102,4 @@ def bin_gaussians(
     return TileBins(tile_gid=tile_gid, tile_count=counts_c,
                     n_overflow=(rect_overflow
                                 + tile_overflow).astype(jnp.int32),
-                    starts=starts, sorted_src=sorted_src,
-                    sorted_key=sorted_key, order=order)
+                    order=order)

@@ -31,6 +31,24 @@ def make_kernel(k: Sequence[float]) -> np.ndarray:
     return k
 
 
+# FIR precision: HIGHEST is required for checkpoint-level numerical parity
+# (JAX's default conv precision may round through bf16), but the depthwise
+# FIR convs are measurably faster at default precision on TPU (~15% of a
+# DualStyleUNet f+b pass) — throughput runs switch via set_fir_precision
+# (models/styleunet.set_conv_precision forwards its mode here).
+FIR_PRECISION = "highest"
+
+
+def set_fir_precision(p: str):
+    global FIR_PRECISION
+    FIR_PRECISION = p
+
+
+def _fir_precision():
+    return (jax.lax.Precision.HIGHEST if FIR_PRECISION == "highest"
+            else None)
+
+
 def _norm_pad(pad) -> Tuple[int, int, int, int]:
     if len(pad) == 2:
         return pad[0], pad[1], pad[0], pad[1]
@@ -52,9 +70,6 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up: int = 1, down: int = 1,
     # True convolution = cross-correlation with the flipped kernel.
     w = jnp.flip(kernel, (0, 1))[:, :, None, None]
     w = jnp.tile(w, (1, 1, 1, c))
-    # FIR kernels are tiny; full precision costs nothing and is required for
-    # checkpoint-level numerical parity (JAX's default conv precision may
-    # round through bf16).
     return jax.lax.conv_general_dilated(
         x, w,
         window_strides=(down, down),
@@ -62,7 +77,7 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up: int = 1, down: int = 1,
         lhs_dilation=(up, up),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_fir_precision(),
     )
 
 

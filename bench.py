@@ -98,6 +98,12 @@ def bench_train():
     dt = time.perf_counter() - t0
 
     it_s = ITERS / dt
+    # binning-cap diagnostic (stderr; stdout carries only the JSON line):
+    # (gaussian, tile) pairs dropped by static caps this step. Nonzero on
+    # the UNTRAINED synthetic net (random exp-scales blow up some radii);
+    # must be ~0 on trained models — training logs it per step.
+    print(f"n_overflow={int(terms['n_overflow'])} "
+          f"(of {net.n_points} gaussians)", file=sys.stderr)
     print(json.dumps({
         "metric": "avatar_train_step",
         "value": round(it_s, 3),
