@@ -90,6 +90,10 @@ def main():
                     help="name=dir, repeatable")
     ap.add_argument("--frames", type=int, nargs=2, default=[2000, 2500])
     ap.add_argument("--crop_out_dir", default="./tmp_quant")
+    ap.add_argument("--inception_weights", default=None,
+                    help="torchvision inception_v3 state dict; enables FID "
+                         "over the mask-cropped patch dirs (ref: "
+                         "comparison_body_only_avatars.py:97-112)")
     args = ap.parse_args()
 
     methods = dict(m.split("=", 1) for m in args.method)
@@ -98,7 +102,18 @@ def main():
                           crop_out_dir=args.crop_out_dir)
     for name, m in out.items():
         print(f"{name} metrics: {m}")
-    print("# FID: run an FID tool over the crop dirs in", args.crop_out_dir)
+    if args.inception_weights:
+        from animatablegaussians_tpu.eval.fid import (InceptionV3Features,
+                                                      compute_fid)
+        model = InceptionV3Features.from_torch(args.inception_weights)
+        gt_crops = os.path.join(args.crop_out_dir, "gt")
+        for name in methods:
+            fid = compute_fid(os.path.join(args.crop_out_dir, name),
+                              gt_crops, model)
+            print(f"{name} FID: {fid:.3f}")
+    else:
+        print("# FID: pass --inception_weights to score the crop dirs in",
+              args.crop_out_dir)
 
 
 if __name__ == "__main__":

@@ -30,7 +30,8 @@ import numpy as np
 
 from animatablegaussians_tpu.ops.upfirdn2d import (
     blur, downsample, fused_leaky_relu, haar_transform,
-    inverse_haar_transform, make_kernel, upfirdn2d, upsample)
+    inverse_haar_transform, make_kernel, upfirdn2d, upsample,
+    wavelet_upsample)
 
 BLUR_KERNEL = (1, 3, 3, 1)
 
@@ -229,11 +230,9 @@ def to_rgb_init(key, in_ch, style_dim, out_ch):
 def to_rgb(p, x, style, skip=None):
     out = modulated_conv2d(p["conv"], x, style, demodulate=False) + p["bias"]
     if skip is not None:
-        kern = make_kernel(BLUR_KERNEL)
-        skip = inverse_haar_transform(skip)
-        skip = upsample(skip, kern)
-        skip = haar_transform(skip)
-        out = out + skip
+        # iwt -> FIR upsample -> haar fused into one transposed conv
+        # (9 depthwise convs + two 3-channel full-res intermediates -> 1 op)
+        out = out + wavelet_upsample(skip, BLUR_KERNEL)
     return out
 
 

@@ -151,3 +151,157 @@ def inverse_haar_transform(x: jnp.ndarray) -> jnp.ndarray:
             + upfirdn2d(lh, -lh_k, up=2, pad=pad)
             + upfirdn2d(hl, -hl_k, up=2, pad=pad)
             + upfirdn2d(hh, hh_k, up=2, pad=pad))
+
+
+# ---------------------------------------------------------------------------
+# Fused wavelet-domain 2x upsample: haar(upsample(iwt(x))) as ONE conv.
+#
+# The StyleGAN2 ToRGB skip chain runs inverse-Haar -> FIR upsample -> Haar on
+# a 4C-channel wavelet image (ref: dual_styleunet.py ToRGB.forward via
+# iwt/upsample/wt). That is 9 depthwise convolutions and two full-resolution
+# 3-channel intermediates per call — terrible lane utilization on TPU (3/128
+# lanes at 2x res). The composition is a single linear shift-equivariant map
+# on the stride-2 lattice, i.e. exactly one transposed convolution
+# (lhs_dilation=2) with a small fixed 4C->4C kernel. We build that kernel
+# numerically once per (C, fir) by probing the chain with unit impulses and
+# verify support/offsets; values are dyadic rationals (products of the Haar
+# 1/sqrt(2) pairs and the normalized FIR taps), so the f32 kernel is exact.
+# ---------------------------------------------------------------------------
+
+_WAVELET_UP_CACHE: dict = {}
+
+
+def _wavelet_upsample_kernel(c: int, fir: Tuple[float, ...]):
+    """Composed kernel + padding for `wavelet_upsample`.
+
+    Returns (w (kh, kw, 4C, 4C) np.float32, pad ((pl, pr), (pl, pr))).
+    """
+    key = (c, tuple(fir))
+    if key in _WAVELET_UP_CACHE:
+        return _WAVELET_UP_CACHE[key]
+    import numpy as _np
+
+    kern = make_kernel(fir)
+
+    def chain(x):
+        y = inverse_haar_transform(x)
+        y = upsample(y, kern)
+        return haar_transform(y)
+
+    # Probe with one impulse per input channel on a grid big enough to hold
+    # the composed support. S=8, impulse at (4,4).
+    S, i0 = 8, 4
+    x = _np.zeros((4 * c, S, S, 4 * c), _np.float32)
+    for ch in range(4 * c):
+        x[ch, i0, i0, ch] = 1.0
+    # must escape any enclosing jit trace: the probe is a compile-time
+    # constant computation
+    with jax.ensure_compile_time_eval():
+        y = _np.asarray(chain(jnp.asarray(x)))
+    # y: (4C, 2S, 2S, 4C); response of output channel co to impulse in ci.
+    nz = _np.argwhere(_np.abs(y).sum(axis=(0, 3)) > 1e-12)
+    (u0, v0), (u1, v1) = nz.min(0), nz.max(0)
+    kh, kw = u1 - u0 + 1, v1 - v0 + 1
+    # For conv_general_dilated with lhs_dilation=2 and padding (pl, pr):
+    # y[u] = sum_m xdil[u - pl + m] w[m], xdil[2i] = x[i]
+    # => response to impulse at i0: y[u, co] = w[2*i0 + pl - u, ci, co]
+    # Choose pl so taps m = 2*i0 + pl - u land in [0, kh): pl = u1 - 2*i0.
+    pl_h, pl_w = int(u1 - 2 * i0), int(v1 - 2 * i0)
+    w = _np.zeros((int(kh), int(kw), 4 * c, 4 * c), _np.float32)
+    for ci in range(4 * c):
+        block = y[ci, u0:u1 + 1, v0:v1 + 1, :]        # (kh, kw, co)
+        w[:, :, ci, :] = block[::-1, ::-1]
+    # output length check: out = (S-1)*2 + 1 + pl + pr - (k-1) + ... solve pr
+    # from the required output size 2S: with lhs_dilation the dilated length
+    # is 2S-1; out = 2S-1 + pl + pr - kh + 1 = 2S  =>  pr = kh - pl.
+    pad = ((pl_h, int(kh) - pl_h), (pl_w, int(kw) - pl_w))
+    _WAVELET_UP_CACHE[key] = (w, pad)
+    return _WAVELET_UP_CACHE[key]
+
+
+def _wavelet_downsample_kernel(c: int, fir: Tuple[float, ...]):
+    """Composed kernel + padding for `wavelet_downsample` (stride-2 conv)."""
+    key = ("down", c, tuple(fir))
+    if key in _WAVELET_UP_CACHE:
+        return _WAVELET_UP_CACHE[key]
+    import numpy as _np
+
+    kern = make_kernel(fir)
+
+    def chain(x):
+        y = inverse_haar_transform(x)
+        y = downsample(y, kern)
+        return haar_transform(y)
+
+    # Stride-2 correlation with left pad pl: y[u] = sum_m x[2u + m - pl] w[m]
+    # => an impulse at input position p contributes w[p + pl - 2u] to y[u] —
+    # a single probe position only reveals taps of ONE parity, so probe the
+    # four (row, col) phase combinations at (i0 | i0+1).
+    S, i0 = 16, 8
+    probes = [(i0, i0), (i0, i0 + 1), (i0 + 1, i0), (i0 + 1, i0 + 1)]
+    x = _np.zeros((4 * c * 4, S, S, 4 * c), _np.float32)
+    for pi, (pr_, pc_) in enumerate(probes):
+        for ch in range(4 * c):
+            x[pi * 4 * c + ch, pr_, pc_, ch] = 1.0
+    with jax.ensure_compile_time_eval():
+        y = _np.asarray(chain(jnp.asarray(x)))    # (4*4C, S/2, S/2, 4C)
+
+    # support across all probes (in output coords, relative to the probe)
+    nz = _np.argwhere(_np.abs(y).sum(axis=(0, 3)) > 1e-12)
+    (u0, v0), (u1, v1) = nz.min(0), nz.max(0)
+    # choose pl so every observed tap lands in [0, k): pl = 2*u1 - (i0 + 1)
+    # covers the widest case; sizes come out of the probe extents.
+    pl_h = int(2 * u1) - (i0 + 1)
+    pl_w = int(2 * v1) - (i0 + 1)
+    kh = (i0 + 1) + pl_h - 2 * int(u0) + 1
+    kw = (i0 + 1) + pl_w - 2 * int(v0) + 1
+    w = _np.zeros((kh, kw, 4 * c, 4 * c), _np.float32)
+    for pi, (pr_, pc_) in enumerate(probes):
+        for ci in range(4 * c):
+            resp = y[pi * 4 * c + ci]             # (S/2, S/2, co)
+            for u in range(int(u0), int(u1) + 1):
+                m = pr_ + pl_h - 2 * u
+                if not 0 <= m < kh:
+                    continue
+                for v in range(int(v0), int(v1) + 1):
+                    n = pc_ + pl_w - 2 * v
+                    if 0 <= n < kw:
+                        # same tap may be probed twice (both parities hit the
+                        # same index only when out of range); plain assign
+                        w[m, n, ci, :] = resp[u, v, :]
+    # out = floor((S + pl + pr - k)/2) + 1 = S/2  =>  pr = k - pl - 2
+    pad = ((pl_h, kh - pl_h - 2), (pl_w, kw - pl_w - 2))
+    _WAVELET_UP_CACHE[key] = (w, pad)
+    return _WAVELET_UP_CACHE[key]
+
+
+def wavelet_downsample(x: jnp.ndarray,
+                       fir: Sequence[float] = (1, 3, 3, 1)) -> jnp.ndarray:
+    """haar(downsample(iwt(x))) fused into one stride-2 conv.
+
+    x: (N, H, W, 4C) wavelet image -> (N, H/2, W/2, 4C). The wavelet-domain
+    FromRGB downsampling step (ref: dual_styleunet.py:442-470 use_wt=True).
+    """
+    c = x.shape[-1] // 4
+    w, pad = _wavelet_downsample_kernel(c, tuple(fir))
+    return jax.lax.conv_general_dilated(
+        x, jnp.asarray(w, x.dtype), (2, 2), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_fir_precision())
+
+
+def wavelet_upsample(x: jnp.ndarray,
+                     fir: Sequence[float] = (1, 3, 3, 1)) -> jnp.ndarray:
+    """haar(upsample(iwt(x))) fused into one transposed conv.
+
+    x: (N, H, W, 4C) wavelet image -> (N, 2H, 2W, 4C). Bit-compatible with
+    the three-op chain up to float summation order (validated exactly in
+    tests/test_upfirdn2d.py).
+    """
+    c = x.shape[-1] // 4
+    w, pad = _wavelet_upsample_kernel(c, tuple(fir))
+    return jax.lax.conv_general_dilated(
+        x, jnp.asarray(w, x.dtype), (1, 1), pad,
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_fir_precision())

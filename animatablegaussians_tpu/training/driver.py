@@ -112,7 +112,13 @@ class AvatarTrainer:
 
     @staticmethod
     def _build_net(data_dir: str, model_opt: dict):
-        from animatablegaussians_tpu.models.avatar import AvatarNet
+        # `model.module` hook: an importable module exposing an AvatarNet
+        # class with the same constructor contract (ref: main_avatar.py:45-47
+        # imports the net module named by the config, default network.avatar)
+        import importlib
+        avatar_module = model_opt.get(
+            "module", "animatablegaussians_tpu.models.avatar")
+        AvatarNet = importlib.import_module(avatar_module).AvatarNet
         from animatablegaussians_tpu.utils import exr
         cano_map = exr.read_exr(
             os.path.join(data_dir, "smpl_pos_map", "cano_smpl_pos_map.exr"))

@@ -1,5 +1,7 @@
 """Marching cubes, eval metrics, NeRF utils, visualize cameras."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -138,3 +140,49 @@ def test_generated_configs_load():
         t = load_config(path.replace("avatar.yaml", "template.yaml"))
         assert t["train"]["lr"]["network"]["type"] == "Step"
         assert t["model"]["use_root_finding"] is True
+
+
+def test_frechet_distance_properties():
+    """FID math: zero on identical stats; matches the closed form for
+    diagonal covariances; symmetric (ref: pytorch-fid semantics used by
+    eval/comparison_body_only_avatars.py:97-112)."""
+    from animatablegaussians_tpu.eval.fid import (frechet_distance,
+                                                  gaussian_stats)
+    rng = np.random.default_rng(0)
+    f = rng.standard_normal((200, 16))
+    mu, cov = gaussian_stats(f)
+    assert abs(frechet_distance(mu, cov, mu, cov)) < 1e-6
+
+    # diagonal case: sum (mu1-mu2)^2 + sum (sqrt(v1)-sqrt(v2))^2
+    mu1, mu2 = np.zeros(4), np.array([1.0, 0, 0, 0])
+    v1, v2 = np.array([1, 2, 3, 4.0]), np.array([2, 2, 1, 4.0])
+    want = 1.0 + np.sum((np.sqrt(v1) - np.sqrt(v2)) ** 2)
+    got = frechet_distance(mu1, np.diag(v1), mu2, np.diag(v2), eps=0)
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+    got2 = frechet_distance(mu2, np.diag(v2), mu1, np.diag(v1), eps=0)
+    np.testing.assert_allclose(got2, got, rtol=1e-8)
+
+
+def test_fid_pipeline_separates_distributions(tmp_path):
+    """End-to-end FID with the random-init Inception trunk: identical image
+    sets give ~0, disjoint sets give a clearly larger value."""
+    import cv2 as cv
+    import jax
+    from animatablegaussians_tpu.eval.fid import (InceptionV3Features,
+                                                  compute_fid)
+    rng = np.random.default_rng(1)
+    d1, d2, d3 = [tmp_path / n for n in ("a", "b", "c")]
+    for d in (d1, d2, d3):
+        os.makedirs(d)
+    for i in range(6):
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        cv.imwrite(str(d1 / f"{i}.png"), img)
+        cv.imwrite(str(d2 / f"{i}.png"), img)          # same distribution
+        dark = (0.2 * rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        cv.imwrite(str(d3 / f"{i}.png"), dark)          # different
+
+    model = InceptionV3Features.init_random(jax.random.PRNGKey(0))
+    same = compute_fid(str(d1), str(d2), model, batch=3)
+    diff = compute_fid(str(d1), str(d3), model, batch=3)
+    assert same < 1e-3
+    assert diff > same + 1e-2

@@ -87,3 +87,33 @@ def test_up_down_sample_shapes():
     k = ufd.make_kernel([1, 3, 3, 1])
     assert ufd.upsample(x, k).shape == (1, 64, 64, 4)
     assert ufd.downsample(x, k).shape == (1, 16, 16, 4)
+
+
+def test_wavelet_upsample_matches_chain():
+    """The fused ToRGB-skip conv must reproduce iwt -> FIR up -> haar
+    exactly (one composed transposed conv vs 9 depthwise convs)."""
+    rng = np.random.default_rng(3)
+    for c, h in ((3, 16), (3, 9), (8, 12)):
+        x = jnp.asarray(rng.standard_normal((2, h, h, 4 * c)), jnp.float32)
+        kern = ufd.make_kernel((1, 3, 3, 1))
+        want = ufd.haar_transform(
+            ufd.upsample(ufd.inverse_haar_transform(x), kern))
+        got = ufd.wavelet_upsample(x)
+        assert got.shape == want.shape == (2, 2 * h, 2 * h, 4 * c)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6)
+
+
+def test_wavelet_downsample_matches_chain():
+    """The fused FromRGB-skip conv must reproduce iwt -> FIR down -> haar
+    exactly (ref: dual_styleunet.py:442-470, use_wt=True)."""
+    rng = np.random.default_rng(4)
+    for c, h in ((3, 16), (3, 32), (8, 24)):
+        x = jnp.asarray(rng.standard_normal((2, h, h, 4 * c)), jnp.float32)
+        kern = ufd.make_kernel((1, 3, 3, 1))
+        want = ufd.haar_transform(
+            ufd.downsample(ufd.inverse_haar_transform(x), kern))
+        got = ufd.wavelet_downsample(x)
+        assert got.shape == want.shape == (2, h // 2, h // 2, 4 * c)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6)
