@@ -38,6 +38,38 @@ def covariance3d(scales: jnp.ndarray, rotations: jnp.ndarray,
     return M @ jnp.swapaxes(M, -1, -2)
 
 
+def _covariance3d_components(scales, rotations, scale_modifier):
+    """The six unique entries of Sigma = R diag(s^2) R^T as (N,) arrays.
+
+    Batched 3x3 matmuls lower to mul-reduce fusions over the minor dims on
+    TPU (~16 ms at 524k in the trace); fully unrolled component arithmetic
+    is pure lane-parallel VPU work. Same math as `covariance3d`.
+    """
+    w, x, y, z = (rotations[:, 0], rotations[:, 1], rotations[:, 2],
+                  rotations[:, 3])
+    two_s = 2.0 / jnp.sum(rotations * rotations, axis=-1)
+    r00 = 1 - two_s * (y * y + z * z)
+    r01 = two_s * (x * y - z * w)
+    r02 = two_s * (x * z + y * w)
+    r10 = two_s * (x * y + z * w)
+    r11 = 1 - two_s * (x * x + z * z)
+    r12 = two_s * (y * z - x * w)
+    r20 = two_s * (x * z - y * w)
+    r21 = two_s * (y * z + x * w)
+    r22 = 1 - two_s * (x * x + y * y)
+    s0 = (scales[:, 0] * scale_modifier) ** 2
+    s1 = (scales[:, 1] * scale_modifier) ** 2
+    s2 = (scales[:, 2] * scale_modifier) ** 2
+    # sigma_ab = sum_j r_aj s_j r_bj
+    s00 = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    s01 = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    s02 = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    s11 = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    s12 = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    s22 = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    return s00, s01, s02, s11, s12, s22
+
+
 def preprocess(
     means3d: jnp.ndarray,       # (N, 3)
     scales: jnp.ndarray,        # (N, 3) activated (positive)
@@ -50,21 +82,26 @@ def preprocess(
     img_h: int,
     scale_modifier: float = 1.0,
 ) -> Preprocessed:
-    N = means3d.shape[0]
-    ones = jnp.ones((N, 1), means3d.dtype)
-    p_hom4 = jnp.concatenate([means3d, ones], axis=1)
-
-    t = p_hom4 @ viewmatrix.T                        # view space (N, 4)
-    tz = t[:, 2]
+    # All the tiny per-Gaussian matrix algebra below is unrolled into (N,)
+    # component arithmetic: batched (N,3,3)-style matmuls lower to slow
+    # mul-reduce fusions over minor dims on TPU; component form is pure
+    # lane-parallel elementwise work (measured 31 ms -> a few ms fwd).
+    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    V = viewmatrix
+    t0 = mx * V[0, 0] + my * V[0, 1] + mz * V[0, 2] + V[0, 3]
+    t1 = mx * V[1, 0] + my * V[1, 1] + mz * V[1, 2] + V[1, 3]
+    tz = mx * V[2, 0] + my * V[2, 1] + mz * V[2, 2] + V[2, 3]
     in_front = tz > 0.2                              # ref: auxiliary.h in_frustum
 
-    clip = p_hom4 @ projmatrix.T
-    p_w = 1.0 / (clip[:, 3] + 1e-7)
-    p_proj = clip[:, :3] * p_w[:, None]
+    P = projmatrix
+    c0 = mx * P[0, 0] + my * P[0, 1] + mz * P[0, 2] + P[0, 3]
+    c1 = mx * P[1, 0] + my * P[1, 1] + mz * P[1, 2] + P[1, 3]
+    c3 = mx * P[3, 0] + my * P[3, 1] + mz * P[3, 2] + P[3, 3]
+    p_w = 1.0 / (c3 + 1e-7)
     # ndc2Pix: ((v + 1) * S - 1) / 2 (ref: auxiliary.h)
     means2d = jnp.stack([
-        ((p_proj[:, 0] + 1.0) * img_w - 1.0) * 0.5,
-        ((p_proj[:, 1] + 1.0) * img_h - 1.0) * 0.5,
+        ((c0 * p_w + 1.0) * img_w - 1.0) * 0.5,
+        ((c1 * p_w + 1.0) * img_h - 1.0) * 0.5,
     ], axis=1)
 
     # --- EWA 2D covariance (ref: forward.cu:74-113) ---
@@ -72,25 +109,36 @@ def preprocess(
     focal_y = img_h / (2.0 * tan_fovy)
     limx, limy = 1.3 * tan_fovx, 1.3 * tan_fovy
     tz_safe = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
-    txtz = jnp.clip(t[:, 0] / tz_safe, -limx, limx)
-    tytz = jnp.clip(t[:, 1] / tz_safe, -limy, limy)
+    txtz = jnp.clip(t0 / tz_safe, -limx, limx)
+    tytz = jnp.clip(t1 / tz_safe, -limy, limy)
     tx = txtz * tz_safe
     ty = tytz * tz_safe
 
-    cov3d = covariance3d(scales, rotations, scale_modifier)   # (N, 3, 3)
+    s00, s01, s02, s11, s12, s22 = _covariance3d_components(
+        scales, rotations, scale_modifier)
 
-    zero = jnp.zeros_like(tz_safe)
-    J = jnp.stack([
-        jnp.stack([focal_x / tz_safe, zero, -focal_x * tx / tz_safe ** 2], -1),
-        jnp.stack([zero, focal_y / tz_safe, -focal_y * ty / tz_safe ** 2], -1),
-    ], axis=-2)                                               # (N, 2, 3)
-    W = viewmatrix[:3, :3]                                    # (3, 3)
-    JW = J @ W                                                # (N, 2, 3)
-    cov2d = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)             # (N, 2, 2)
-
-    a = cov2d[:, 0, 0] + 0.3
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + 0.3
+    # J rows: [fx/tz, 0, -fx tx/tz^2], [0, fy/tz, -fy ty/tz^2]
+    j00 = focal_x / tz_safe
+    j02 = -focal_x * tx / tz_safe ** 2
+    j11 = focal_y / tz_safe
+    j12 = -focal_y * ty / tz_safe ** 2
+    # JW rows (W = view rotation, constant 3x3):
+    u0 = j00 * V[0, 0] + j02 * V[2, 0]
+    u1 = j00 * V[0, 1] + j02 * V[2, 1]
+    u2 = j00 * V[0, 2] + j02 * V[2, 2]
+    v0 = j11 * V[1, 0] + j12 * V[2, 0]
+    v1 = j11 * V[1, 1] + j12 * V[2, 1]
+    v2 = j11 * V[1, 2] + j12 * V[2, 2]
+    # cov2d = (JW) Sigma (JW)^T with symmetric Sigma:
+    su0 = s00 * u0 + s01 * u1 + s02 * u2
+    su1 = s01 * u0 + s11 * u1 + s12 * u2
+    su2 = s02 * u0 + s12 * u1 + s22 * u2
+    a = u0 * su0 + u1 * su1 + u2 * su2 + 0.3
+    b = v0 * su0 + v1 * su1 + v2 * su2
+    sv0 = s00 * v0 + s01 * v1 + s02 * v2
+    sv1 = s01 * v0 + s11 * v1 + s12 * v2
+    sv2 = s02 * v0 + s12 * v1 + s22 * v2
+    c = v0 * sv0 + v1 * sv1 + v2 * sv2 + 0.3
 
     det = a * c - b * b
     det_safe = jnp.where(det == 0.0, 1.0, det)
