@@ -152,30 +152,22 @@ def render(
 
     rows = _pack_rows(pre, opacities, colors)          # (N, 16)
 
+    # binning performs active-tile compaction internally (top-A tiles by
+    # count; empty tiles never reach the kernels or the gradient scatter)
     bins = bin_gaussians(pre.means2d, pre.depths, pre.radii, pre.valid,
                          img_w, img_h, tile=config.tile,
-                         max_dup=config.max_dup, k_max=config.k_max)
+                         max_dup=config.max_dup, k_max=config.k_max,
+                         max_active_tiles=config.max_active_tiles)
 
     grid_x = -(-img_w // config.tile)
     grid_y = -(-img_h // config.tile)
     T = grid_x * grid_y
     P = config.tile * config.tile
 
-    # Active-tile compaction: the kernels and the gradient scatter only see
-    # the top-A tiles by Gaussian count (the reference's grid covers every
-    # tile but empty tiles exit renderCUDA immediately; here they must not
-    # occupy static shape at all).
     A = min(config.max_active_tiles or T, T)
     n_overflow = bins.n_overflow
-    if A < T:
-        counts_a, tile_ids = jax.lax.top_k(bins.tile_count, A)
-        tile_gid = bins.tile_gid[tile_ids]
-        # entries in tiles beyond the cap are dropped: count them
-        n_overflow = n_overflow + (jnp.sum(bins.tile_count)
-                                   - jnp.sum(counts_a))
-    else:
-        counts_a, tile_ids = bins.tile_count, jnp.arange(T, dtype=jnp.int32)
-        tile_gid = bins.tile_gid
+    counts_a, tile_ids, tile_gid = (bins.tile_count, bins.tile_ids,
+                                    bins.tile_gid)
 
     tile_data = _gather_tiles(rows, tile_gid, config.scatter_pad)
 

@@ -26,10 +26,11 @@ import jax.numpy as jnp
 
 
 class TileBins(NamedTuple):
-    tile_gid: jnp.ndarray     # (T, K_MAX) int32 gaussian indices, depth order
-    tile_count: jnp.ndarray   # (T,) int32 number of valid entries (capped)
+    tile_gid: jnp.ndarray     # (A, K_MAX) int32 gaussian indices, depth order
+    tile_count: jnp.ndarray   # (A,) int32 number of valid entries (capped)
+    tile_ids: jnp.ndarray     # (A,) int32 tile indices the rows refer to
     n_overflow: jnp.ndarray   # () int32: dropped (gaussian,tile) pairs
-                              # (rect cap + per-tile cap)
+                              # (rect cap + per-tile cap + inactive tiles)
     order: jnp.ndarray        # (N,) int32 depth order: rank -> gaussian id
 
 
@@ -54,19 +55,32 @@ def bin_gaussians(
     tile: int = 16,
     max_dup: int = 16,
     k_max: int = 512,
+    max_active_tiles: int = 0,
 ) -> TileBins:
     grid_x = -(-img_w // tile)
     grid_y = -(-img_h // tile)
     T = grid_x * grid_y
     N = means2d.shape[0]
 
+    # Binning is pure integer bookkeeping — no gradients flow through it
+    # (the reference's binning is CUDA bookkeeping too). Without this, the
+    # means2d gather below drags a useless 524k scatter into the backward.
+    means2d = jax.lax.stop_gradient(means2d)
+    depths = jax.lax.stop_gradient(depths)
+
     # 1. Depth order over Gaussians (invalid sink to the back).
     depth_key = jnp.where(valid, depths, jnp.inf).astype(jnp.float32)
     order = jnp.argsort(depth_key).astype(jnp.int32)          # (N,)
 
-    xy = means2d[order]
-    r = radii[order]
-    v = valid[order]
+    # One packed gather instead of three (per-index cost dominates TPU
+    # gathers — 3x 524k-row gathers showed as ~15 ms in the trace).
+    packed = jnp.concatenate(
+        [means2d, radii.astype(means2d.dtype)[:, None],
+         valid.astype(means2d.dtype)[:, None]], axis=1)       # (N, 4)
+    packed = packed[order]
+    xy = packed[:, :2]
+    r = packed[:, 2].astype(jnp.int32)
+    v = packed[:, 3] > 0.5
     rx0, ry0, rx1, ry1 = tile_rect(xy, r, grid_x, grid_y, tile)
     width = rx1 - rx0
     height = ry1 - ry0
@@ -88,18 +102,35 @@ def bin_gaussians(
     sorted_key, sorted_gid = jax.lax.sort(
         (key.reshape(-1), gid.reshape(-1)), num_keys=1, is_stable=True)
 
-    # 4. Ranges + static-K per-tile lists.
+    # 4. Ranges, active-tile compaction, then static-K lists for ONLY the
+    # active tiles (the reference's grid covers every tile but empty tiles
+    # exit renderCUDA immediately, rasterizer_impl.cu; here inactive tiles
+    # must not occupy static shape — and building lists for them costs a
+    # 3M-element gather, measured ~22 ms at full scale).
     starts = jnp.searchsorted(sorted_key, jnp.arange(T + 1, dtype=jnp.int32),
                               side="left").astype(jnp.int32)
     counts = starts[1:] - starts[:-1]                          # (T,)
     tile_overflow = jnp.sum(jnp.maximum(counts - k_max, 0))
     counts_c = jnp.minimum(counts, k_max)
 
-    idx = starts[:T, None] + jnp.arange(k_max, dtype=jnp.int32)[None, :]
-    idx = jnp.minimum(idx, N * max_dup - 1)
-    tile_gid = sorted_gid[idx]                                  # (T, K)
+    A = min(max_active_tiles or T, T)
+    if A < T:
+        counts_a, tile_ids = jax.lax.top_k(counts_c, A)
+        # entries in tiles beyond the cap are dropped: count them
+        tile_overflow = tile_overflow + (jnp.sum(counts_c)
+                                         - jnp.sum(counts_a))
+        starts_a = starts[tile_ids]
+    else:
+        counts_a = counts_c
+        tile_ids = jnp.arange(T, dtype=jnp.int32)
+        starts_a = starts[:T]
 
-    return TileBins(tile_gid=tile_gid, tile_count=counts_c,
+    idx = starts_a[:, None] + jnp.arange(k_max, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(idx, N * max_dup - 1)
+    tile_gid = sorted_gid[idx]                                  # (A, K)
+
+    return TileBins(tile_gid=tile_gid, tile_count=counts_a,
+                    tile_ids=tile_ids,
                     n_overflow=(rect_overflow
                                 + tile_overflow).astype(jnp.int32),
                     order=order)
