@@ -212,16 +212,27 @@ class AvatarNet:
 
     # -- skinning (ref: avatar.py:84-91) ---------------------------------
     def transform_cano2live(self, gaussian_vals: dict, items: dict) -> dict:
+        # (N, J) @ (J, 16): a real matmul (contraction 55) — MXU-friendly.
         pt_mats = jnp.einsum("nj,jxy->nxy", self.lbs,
                              items["cano2live_jnt_mats"])
-        positions = (jnp.einsum("nxy,ny->nx", pt_mats[:, :3, :3],
-                                gaussian_vals["positions"])
-                     + pt_mats[:, :3, 3])
-        rot_mats = quat_ops.quat_to_mat(gaussian_vals["rotations"])
-        rot_mats = jnp.einsum("nxy,nyz->nxz", pt_mats[:, :3, :3], rot_mats)
+        # The remaining per-point 3x3 algebra is unrolled: batched tiny
+        # matmuls lower to slow mul-reduce fusions on TPU (see
+        # ops/rasterize/preprocess.py for the same treatment).
+        m = [[pt_mats[:, i, j] for j in range(4)] for i in range(3)]
+        p = gaussian_vals["positions"]
+        px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+        positions = jnp.stack(
+            [m[i][0] * px + m[i][1] * py + m[i][2] * pz + m[i][3]
+             for i in range(3)], axis=1)
+        q = quat_ops.quat_to_mat(gaussian_vals["rotations"])   # (N, 3, 3)
+        rot = jnp.stack(
+            [jnp.stack([m[i][0] * q[:, 0, j] + m[i][1] * q[:, 1, j]
+                        + m[i][2] * q[:, 2, j]
+                        for j in range(3)], axis=-1)
+             for i in range(3)], axis=-2)                      # (N, 3, 3)
         out = dict(gaussian_vals)
         out["positions"] = positions
-        out["rotations"] = quat_ops.mat_to_quat(rot_mats)
+        out["rotations"] = quat_ops.mat_to_quat(rot)
         return out
 
     # -- pose-map regeneration for novel poses (ref: avatar.py:149-159) --
@@ -279,10 +290,6 @@ class AvatarNet:
         key = "smpl_pos_map_pca" if use_pca else "smpl_pos_map"
         pose_map = items[key][..., :3]                         # (S, S, 3)
 
-        cano_pts, pos_map = self.get_positions(params, pose_map,
-                                               return_map=True)
-        opacity, scales, rotations = self.get_others(params, pose_map)
-
         if self.with_viewdirs:
             vd_rng = None
             if training and rng is not None:
@@ -294,8 +301,32 @@ class AvatarNet:
         style = None
         if self.random_style and training and rng is not None:
             style = jax.random.uniform(rng, (1, self.style_dim))
-        colors, color_map = self.get_colors(params, pose_map, front_vd,
-                                            back_vd, style)
+
+        # Run the three heads to maps, then do ONE masked-texel select on the
+        # concatenated (H, 2H, 14) map: the three separate selects' VJPs were
+        # three ~22 ms scatter-adds at 518k texels; identical indices fuse
+        # them into one.
+        pos_map = self._net_out_to_map(
+            self.position_net.apply(params["position_net"],
+                                    self.constant_style(), pose_map[None]), 3)
+        other_map = self._net_out_to_map(
+            self.other_net.apply(params["other_net"],
+                                 self.constant_style(), pose_map[None]), 8)
+        color_style = self.constant_style() if style is None else style
+        color_map = self._net_out_to_map(
+            self.color_net.apply(params["color_net"], color_style,
+                                 pose_map[None],
+                                 view_feature1=front_vd,
+                                 view_feature2=back_vd), 3)
+        sel = self._select_masked(jnp.concatenate(
+            [pos_map, other_map, color_map], axis=-1))     # (N, 14)
+
+        g: GaussianParams = params["cano_gaussian"]
+        cano_pts = 0.05 * sel[:, :3] + g.get_xyz
+        opacity = jax.nn.sigmoid(sel[:, 3:4] + g.opacity)
+        scales = jnp.exp(sel[:, 4:7] + g.scaling)
+        rotations = quat_ops.normalize(sel[:, 7:11] + g.rotation)
+        colors = sel[:, 11:14]
 
         if hand_vals is not None:
             cano_pts, opacity, scales, rotations = self.blend_mean_hands(

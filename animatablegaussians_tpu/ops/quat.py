@@ -53,9 +53,13 @@ def mat_to_quat(m: jnp.ndarray) -> jnp.ndarray:
     denom = 2.0 * jnp.sqrt(jnp.maximum(mags, eps))[..., None]
     cands = cands / denom
 
-    best = jnp.argmax(mags, axis=-1)
-    q = jnp.take_along_axis(cands, best[..., None, None].repeat(4, axis=-1), axis=-2)
-    q = q[..., 0, :]
+    # Branch-free pivot selection (take_along_axis lowers to a per-element
+    # gather — measured ~24 ms at 518k on TPU; 4-way select is elementwise).
+    best = jnp.argmax(mags, axis=-1)[..., None]          # (..., 1)
+    q = (jnp.where(best == 0, cands[..., 0, :], 0.0)
+         + jnp.where(best == 1, cands[..., 1, :], 0.0)
+         + jnp.where(best == 2, cands[..., 2, :], 0.0)
+         + jnp.where(best == 3, cands[..., 3, :], 0.0))
     # Canonical sign: w >= 0 (matches pytorch3d's standardize).
     q = jnp.where(q[..., 0:1] < 0, -q, q)
     return normalize(q)
