@@ -190,3 +190,86 @@ def import_avatar_params(path_or_sd, avatar_net, base_params: dict) -> dict:
             conv2=dict(weight=_conv_w(sd["viewdir_net.2.weight"]),
                        bias=jnp.asarray(sd["viewdir_net.2.bias"])))
     return params
+
+
+def import_discriminator(sd: dict, prefix: str, disc) -> dict:
+    """Map a torch StyleGAN2 Discriminator subtree at ``prefix.*``
+    (ref: network/styleunet/dual_styleunet.py:473-567) onto
+    models/discriminator.py's layout."""
+    g = lambda k: sd[f"{prefix}.{k}" if prefix else k]
+
+    def conv_layer(k: str, downsample: bool):
+        ci = 1 if downsample else 0
+        return dict(conv=dict(weight=_conv_w(g(f"{k}.{ci}.weight"))),
+                    act_bias=jnp.asarray(g(f"{k}.{ci + 1}.bias")))
+
+    n = len(disc.stages)
+    p: dict = {
+        "from_rgbs": [dict(conv=conv_layer(f"from_rgbs.{i}.conv",
+                                           downsample=False))
+                      for i in range(n)],
+        "convs": [dict(conv1=conv_layer(f"convs.{i}.conv1",
+                                        downsample=False),
+                       conv2=conv_layer(f"convs.{i}.conv2",
+                                        downsample=True))
+                  for i in range(n)],
+        "final_from_rgb": dict(conv=conv_layer(f"from_rgbs.{n}.conv",
+                                               downsample=False)),
+        "final_conv": conv_layer("final_conv", downsample=False),
+        # final_linear.0 consumes the flattened 4x4 feature map: torch
+        # flattens NCHW (C-major), we flatten NHWC — reorder its columns
+        "final_linear": [
+            dict(weight=_lin_w(
+                g("final_linear.0.weight")
+                .reshape(-1, disc.channels[4], 4, 4)
+                .transpose(0, 2, 3, 1)
+                .reshape(-1, disc.channels[4] * 16)),
+                 bias=jnp.asarray(g("final_linear.0.bias"))),
+            dict(weight=_lin_w(g("final_linear.1.weight")),
+                 bias=jnp.asarray(g("final_linear.1.bias"))),
+        ],
+    }
+    if disc.c_dim > 0:
+        p["mapping"] = [dict(weight=_lin_w(g(f"mapping.{i}.weight")),
+                             bias=jnp.asarray(g(f"mapping.{i}.bias")))
+                        for i in range(4)]
+    return p
+
+
+def import_style_generator(sd: dict, prefix: str, gen) -> dict:
+    """Map a torch StyleGenerator subtree (ref: stylegan.py:148-331) onto
+    models/stylegan.py's layout."""
+    g = lambda k: sd[f"{prefix}.{k}" if prefix else k]
+
+    def styled_conv(k: str):
+        return dict(
+            conv=dict(
+                weight=_conv_w(g(f"{k}.conv.weight")[0]),
+                modulation=dict(
+                    weight=_lin_w(g(f"{k}.conv.modulation.weight")),
+                    bias=jnp.asarray(g(f"{k}.conv.modulation.bias")))),
+            noise_weight=jnp.asarray(g(f"{k}.noise.weight")).reshape(()),
+            act_bias=jnp.asarray(g(f"{k}.activate.bias")))
+
+    def to_rgb(k: str):
+        return dict(
+            conv=dict(
+                weight=_conv_w(g(f"{k}.conv.weight")[0]),
+                modulation=dict(
+                    weight=_lin_w(g(f"{k}.conv.modulation.weight")),
+                    bias=jnp.asarray(g(f"{k}.conv.modulation.bias")))),
+            bias=jnp.asarray(g(f"{k}.bias")).reshape(-1))
+
+    n_dec = len(gen.stages)
+    return {
+        "style": [dict(weight=_lin_w(g(f"style.{i + 1}.weight")),
+                       bias=jnp.asarray(g(f"style.{i + 1}.bias")))
+                  for i in range(gen.n_mlp)],
+        "input": jnp.asarray(g("input.input").transpose(0, 2, 3, 1)),
+        "conv1": styled_conv("conv1"),
+        "to_rgb1": to_rgb("to_rgb1"),
+        "convs": [styled_conv(f"convs.{i}") for i in range(2 * n_dec)],
+        "to_rgbs": [to_rgb(f"to_rgbs.{i}") for i in range(n_dec)],
+        "noises": [jnp.asarray(g(f"noises.noise_{i}").transpose(0, 2, 3, 1))
+                   for i in range(gen.num_layers)],
+    }

@@ -179,3 +179,86 @@ def test_dual_styleunet_viewdir_injection_matches_reference(ref_modules):
         su.set_conv_precision(old_prec)
 
     np.testing.assert_allclose(our_out, ref_out, atol=5e-4)
+
+
+def test_discriminator_matches_reference(ref_modules):
+    """Logit agreement with the reference StyleGAN2 Discriminator
+    (ref: network/styleunet/dual_styleunet.py:473-567) under imported
+    random torch weights — covers the wavelet FromRGB pyramid, the fused
+    wavelet downsampling, minibatch stddev, and the final head."""
+    _, ref_dsu = ref_modules
+    from animatablegaussians_tpu.models import styleunet as su
+    from animatablegaussians_tpu.models.discriminator import Discriminator
+    from animatablegaussians_tpu.training.checkpoint import \
+        import_discriminator
+    import jax.numpy as jnp
+
+    torch.manual_seed(1)
+    ref_d = ref_dsu.Discriminator(size=64, img_channel=3).eval()
+    sd = {k: v.detach().numpy() for k, v in ref_d.state_dict().items()}
+
+    our_d = Discriminator(size=64, img_channel=3)
+    params = import_discriminator(sd, "", our_d)
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((4, 64, 64, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_d(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    old = su.CONV_PRECISION
+    su.set_conv_precision("highest")
+    try:
+        our_out = np.asarray(our_d.apply(params, jnp.asarray(x)))
+    finally:
+        su.set_conv_precision(old)
+
+    assert our_out.shape == ref_out.shape
+    np.testing.assert_allclose(our_out, ref_out, atol=2e-4,
+                               err_msg="Discriminator diverges from the "
+                                       "torch reference")
+
+
+def test_style_generator_matches_reference(ref_modules):
+    """Image agreement with the reference StyleGenerator
+    (ref: network/styleunet/stylegan.py:148-331) under imported random
+    torch weights (fixed noise, single style)."""
+    del ref_modules  # ensures the stubs + sys.path fixture ran
+    sys.path.insert(0, REF)
+    try:
+        from network.styleunet import stylegan as ref_sg
+    finally:
+        sys.path.remove(REF)
+    from animatablegaussians_tpu.models import styleunet as su
+    from animatablegaussians_tpu.models.stylegan import StyleGenerator
+    from animatablegaussians_tpu.training.checkpoint import \
+        import_style_generator
+    import jax.numpy as jnp
+
+    torch.manual_seed(2)
+    ref_g = ref_sg.StyleGenerator(size=64, style_dim=64, n_mlp=2,
+                                  out_ch=3).eval()
+    sd = {k: v.detach().numpy() for k, v in ref_g.state_dict().items()}
+
+    our_g = StyleGenerator(size=64, style_dim=64, n_mlp=2, out_ch=3)
+    params = import_style_generator(sd, "", our_g)
+
+    z = np.random.default_rng(3).standard_normal((2, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_img = ref_g([torch.from_numpy(z)],
+                        randomize_noise=False)[0].numpy()
+    ref_img = ref_img.transpose(0, 2, 3, 1)
+
+    old = su.CONV_PRECISION
+    su.set_conv_precision("highest")
+    try:
+        our_img, _ = our_g.apply(params, [jnp.asarray(z)],
+                                 randomize_noise=False)
+        our_img = np.asarray(our_img)
+    finally:
+        su.set_conv_precision(old)
+
+    assert our_img.shape == ref_img.shape
+    np.testing.assert_allclose(our_img, ref_img, atol=2e-4,
+                               err_msg="StyleGenerator diverges from the "
+                                       "torch reference")
