@@ -171,3 +171,32 @@ def test_prefetch_loader_stacks_and_iterates():
     assert batches[0]["x"].shape == (4, 4, 4)
     seen = sorted(int(v) for b in batches for v in b["y"])
     assert len(set(seen)) == 8
+
+
+def test_render_fused_select_matches_head_methods():
+    """render()'s single fused masked select over the concatenated head map
+    must agree with the per-head get_positions/get_others/get_colors
+    methods (regression guard for the one-scatter-VJP optimization)."""
+    net, params, items = _tiny_avatar()
+    pose_map = items["smpl_pos_map"][..., :3]
+
+    out = net.render(params, items, bg_color=(0.0, 0.0, 0.0),
+                     img_w=64, img_h=64)
+    gv = out["posed_gaussians"]
+
+    cano_pts = net.get_positions(params, pose_map)
+    opacity, scales, rotations = net.get_others(params, pose_map)
+    # transform the per-head values exactly as render does
+    ref = net.transform_cano2live(
+        dict(positions=cano_pts, opacity=opacity, scales=scales,
+             rotations=rotations, colors=jnp.zeros_like(cano_pts),
+             max_sh_degree=net.max_sh_degree), items)
+
+    np.testing.assert_allclose(np.asarray(gv["positions"]),
+                               np.asarray(ref["positions"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv["opacity"]),
+                               np.asarray(opacity), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv["scales"]),
+                               np.asarray(scales), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gv["rotations"]),
+                               np.asarray(ref["rotations"]), atol=1e-5)
