@@ -96,3 +96,24 @@ def test_obj_io_roundtrip(tmp_path):
     v2, f2 = load_mesh(p2)
     np.testing.assert_allclose(v2, verts, atol=1e-6)
     np.testing.assert_array_equal(f2, faces)
+
+
+def test_trace_report_and_synced_timing(tmp_path):
+    """host_sync barrier, synced timing, and the HLO-correlated per-op
+    trace report (the profiling workflow for the axon backend, where
+    block_until_ready can return before device work finishes)."""
+    import jax
+    import jax.numpy as jnp
+    from animatablegaussians_tpu.utils.profiling import (host_sync,
+                                                         time_fn_synced,
+                                                         trace, trace_report)
+
+    f = jax.jit(lambda x: jnp.sort(x * 2.0))
+    x = jnp.arange(2048.0)
+    assert time_fn_synced(f, x, iters=2, warmup=1) > 0
+
+    d = str(tmp_path / "trace")
+    with trace(d):
+        host_sync(f(x))
+    rep = trace_report(d, f, (x,))
+    assert "ms" in rep and len(rep.splitlines()) >= 1
