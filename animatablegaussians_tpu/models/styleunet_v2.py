@@ -180,20 +180,9 @@ class DualStyleUNetV2:
                 out.append(jax.random.normal(k, shape))
         return out
 
-    # -- forward (ref: v2:789-901) ------------------------------------------
-    def apply(self, p: dict, styles, cond_img: jnp.ndarray,
-              cond: Optional[jnp.ndarray] = None,
-              return_latents: bool = False,
-              inject_index: Optional[int] = None,
-              truncation: float = 1.0,
-              truncation_latent: Optional[jnp.ndarray] = None,
-              input_is_latent: bool = False,
-              noise: Optional[List] = None,
-              randomize_noise: bool = True,
-              rng: Optional[jax.Array] = None):
-        """styles: list of (B, style_dim) z or w vectors (or one (B, L, D)
-        W+ tensor in a 1-list). cond_img: (B, S, S, inp_ch) NHWC. Returns
-        (images, latents-or-None) like the reference forward."""
+    # -- forward pieces (shared with SWGANUnet) ------------------------------
+    def _prepare_latent(self, p, styles, cond, inject_index, truncation,
+                        truncation_latent, input_is_latent):
         if not isinstance(styles, (list, tuple)):
             styles = [styles]
         if not input_is_latent:
@@ -219,18 +208,19 @@ class DualStyleUNetV2:
             l2 = jnp.repeat(styles[1][:, None],
                             self.n_latent - inject_index, axis=1)
             latent = jnp.concatenate([l1, l2], axis=1)
+        return latent
 
-        if noise is None:
-            if randomize_noise and rng is not None:
-                rngs = jax.random.split(rng, self.num_layers)
-                noise = [jax.random.normal(
-                    rngs[i], (cond_img.shape[0],) + tuple(
-                        p["noises"][i].shape[1:]))
-                    for i in range(self.num_layers)]
-            else:
-                noise = p["noises"]
+    def _resolve_noise(self, p, noise, randomize_noise, batch, rng):
+        if noise is not None:
+            return noise
+        if randomize_noise and rng is not None:
+            rngs = jax.random.split(rng, self.num_layers)
+            return [jax.random.normal(
+                rngs[i], (batch,) + tuple(p["noises"][i].shape[1:]))
+                for i in range(self.num_layers)]
+        return p["noises"]
 
-        # encoder
+    def _encode(self, p, cond_img):
         if self.mode == "add_dwt":
             cond_cur = haar_transform(cond_img)      # (ref: v2:1119)
         else:
@@ -248,6 +238,10 @@ class DualStyleUNetV2:
             skip = conv_layer(frgb["conv"], cond_cur, 1)
             cond_out = conv_block(cblock, skip + cond_out)
             cond_list.append(cond_out)
+        return cond_list
+
+    def _decode(self, p, convs, rgbs, latent, noise, cond_list):
+        kern = make_kernel(BLUR_KERNEL)
 
         def to_rgb_v2(rp, x, w, skip):
             out = modulated_conv2d(rp["conv"], x, w,
@@ -260,29 +254,93 @@ class DualStyleUNetV2:
                 out = out + skip
             return out
 
-        def decode(convs, rgbs):
-            out = None
-            skip = None
-            i = 0
-            n_comb = len(p["comb_convs"])
-            for (c1, c2), rgb in zip(zip(convs[::2], convs[1::2]), rgbs):
-                if i == 0:
-                    out = conv_layer(p["comb_convs"][-1], cond_list[-1], 3)
-                elif i < 2 * n_comb:
-                    out = jnp.concatenate(
-                        [out, cond_list[-1 - (i // 2)]], axis=-1)
-                    out = conv_layer(p["comb_convs"][-1 - (i // 2)], out, 3)
-                out = styled_conv(c1, out, latent[:, i], noise[i], up=True)
-                out = styled_conv(c2, out, latent[:, i + 1], noise[i + 1])
-                skip = to_rgb_v2(rgb, out, latent[:, min(i + 2,
-                                                         self.n_latent - 1)],
-                                 skip)
-                i += 2
-            if self.mode == "wo_dwt":
-                return skip                          # already pixel space
-            return inverse_haar_transform(skip)
+        out = None
+        skip = None
+        i = 0
+        n_comb = len(p["comb_convs"])
+        for (c1, c2), rgb in zip(zip(convs[::2], convs[1::2]), rgbs):
+            if i == 0:
+                out = conv_layer(p["comb_convs"][-1], cond_list[-1], 3)
+            elif i < 2 * n_comb:
+                out = jnp.concatenate(
+                    [out, cond_list[-1 - (i // 2)]], axis=-1)
+                out = conv_layer(p["comb_convs"][-1 - (i // 2)], out, 3)
+            out = styled_conv(c1, out, latent[:, i], noise[i], up=True)
+            out = styled_conv(c2, out, latent[:, i + 1], noise[i + 1])
+            skip = to_rgb_v2(rgb, out, latent[:, min(i + 2,
+                                                     self.n_latent - 1)],
+                             skip)
+            i += 2
+        if self.mode == "wo_dwt":
+            return skip                              # already pixel space
+        return inverse_haar_transform(skip)
 
-        image1 = decode(p["convs1"], p["to_rgbs1"])
-        image2 = decode(p["convs2"], p["to_rgbs2"])
+    # -- forward (ref: v2:789-901) ------------------------------------------
+    def apply(self, p: dict, styles, cond_img: jnp.ndarray,
+              cond: Optional[jnp.ndarray] = None,
+              return_latents: bool = False,
+              inject_index: Optional[int] = None,
+              truncation: float = 1.0,
+              truncation_latent: Optional[jnp.ndarray] = None,
+              input_is_latent: bool = False,
+              noise: Optional[List] = None,
+              randomize_noise: bool = True,
+              rng: Optional[jax.Array] = None):
+        """styles: list of (B, style_dim) z or w vectors (or one (B, L, D)
+        W+ tensor in a 1-list). cond_img: (B, S, S, inp_ch) NHWC. Returns
+        (images, latents-or-None) like the reference forward."""
+        latent = self._prepare_latent(p, styles, cond, inject_index,
+                                      truncation, truncation_latent,
+                                      input_is_latent)
+        noise = self._resolve_noise(p, noise, randomize_noise,
+                                    cond_img.shape[0], rng)
+        cond_list = self._encode(p, cond_img)
+        image1 = self._decode(p, p["convs1"], p["to_rgbs1"], latent, noise,
+                              cond_list)
+        image2 = self._decode(p, p["convs2"], p["to_rgbs2"], latent, noise,
+                              cond_list)
         images = jnp.concatenate([image1, image2], axis=-1)
         return (images, latent) if return_latents else (images, None)
+
+
+class SWGANUnet(DualStyleUNetV2):
+    """Single-decoder StyleUNet ``SWGAN_unet``
+    (ref: network/styleunet/styleunet.py:634-860): exactly the v2 "base"
+    architecture — pixel-space encoder, wavelet-domain decoder with the full
+    StyleGAN2 latent API — but with ONE decoder branch (``convs``/``to_rgbs``)
+    producing a single out_size image through the final inverse Haar
+    transform."""
+
+    def __init__(self, *args, **kw):
+        assert kw.pop("mode", "base") == "base", \
+            "SWGAN_unet has no wavelet-input/pixel-skip variants"
+        super().__init__(*args, mode="base", **kw)
+
+    def init(self, key) -> dict:
+        p = super().init(key)
+        p["convs"] = p.pop("convs1")
+        p["to_rgbs"] = p.pop("to_rgbs1")
+        del p["convs2"], p["to_rgbs2"]
+        return p
+
+    def apply(self, p: dict, styles, cond_img: jnp.ndarray,
+              cond: Optional[jnp.ndarray] = None,
+              return_latents: bool = False,
+              inject_index: Optional[int] = None,
+              truncation: float = 1.0,
+              truncation_latent: Optional[jnp.ndarray] = None,
+              input_is_latent: bool = False,
+              noise: Optional[List] = None,
+              randomize_noise: bool = True,
+              rng: Optional[jax.Array] = None):
+        """Returns (image (B, out_size, out_size, out_ch), latents-or-None)
+        like the reference forward (styleunet.py:773-860)."""
+        latent = self._prepare_latent(p, styles, cond, inject_index,
+                                      truncation, truncation_latent,
+                                      input_is_latent)
+        noise = self._resolve_noise(p, noise, randomize_noise,
+                                    cond_img.shape[0], rng)
+        cond_list = self._encode(p, cond_img)
+        image = self._decode(p, p["convs"], p["to_rgbs"], latent, noise,
+                             cond_list)
+        return (image, latent) if return_latents else (image, None)

@@ -113,11 +113,13 @@ def _lin_w(a):     # (out, in) -> (in, out)
     return jnp.asarray(a.T)
 
 
-def import_dual_styleunet(sd: dict, prefix: str, net) -> dict:
+def import_dual_styleunet(sd: dict, prefix: str, net,
+                          branches=(("convs1", "to_rgbs1"),
+                                    ("convs2", "to_rgbs2"))) -> dict:
     """Map a torch DualStyleUNet subtree at ``prefix.*`` onto our param
     layout (models/styleunet.py). Raises KeyError on missing keys so layout
     drift is loud."""
-    g = lambda k: sd[f"{prefix}.{k}"]
+    g = lambda k: sd[f"{prefix}.{k}" if prefix else k]
     p: dict = {}
 
     p["style"] = [dict(weight=_lin_w(g(f"style.{i + 1}.weight")),
@@ -159,17 +161,39 @@ def import_dual_styleunet(sd: dict, prefix: str, net) -> dict:
                     bias=jnp.asarray(g(f"{k}.conv.modulation.bias")))),
             bias=jnp.asarray(g(f"{k}.bias")).reshape(-1))
 
-    for branch in ("1", "2"):
+    for convs_key, rgbs_key in branches:
         n_dec = len(net.dec_stages)
-        p[f"convs{branch}"] = [styled_conv(f"convs{branch}.{i}")
-                               for i in range(2 * n_dec)]
-        p[f"to_rgbs{branch}"] = [to_rgb(f"to_rgbs{branch}.{i}")
-                                 for i in range(n_dec)]
+        p[convs_key] = [styled_conv(f"{convs_key}.{i}")
+                        for i in range(2 * n_dec)]
+        p[rgbs_key] = [to_rgb(f"{rgbs_key}.{i}")
+                       for i in range(n_dec)]
 
     p["noises"] = [
         jnp.asarray(g(f"noises.noise_{i}").transpose(0, 2, 3, 1))
         for i in range(net.num_layers)]
     return p
+
+
+def import_dual_styleunet_v2(sd: dict, prefix: str, net) -> dict:
+    """Map a torch v2-family net (``DualStyleUNet`` / ``_add_dwt`` /
+    ``_wo_dwt``, ref: network/styleunet/dual_styleunet_v2.py:634,903,1186)
+    onto models/styleunet_v2.py's layout.
+
+    The v2 state-dict key layout is identical to v1's (style.{i},
+    conv_in, from_rgbs.{i}.conv, cond_convs.{i}, comb_convs.{i},
+    convs{1,2}.{i}, to_rgbs{1,2}.{i}, noises.noise_{i}); the per-mode
+    differences (stage counts, wavelet-vs-pixel resampling, conv_in input
+    channels) are all captured by the net's schedule attributes, which
+    ``import_dual_styleunet`` already consumes."""
+    return import_dual_styleunet(sd, prefix, net)
+
+
+def import_swgan_unet(sd: dict, prefix: str, net) -> dict:
+    """Map a torch ``SWGAN_unet`` (ref: network/styleunet/styleunet.py:634-860)
+    onto models/styleunet_v2.SWGANUnet's layout — the v2-base key layout with
+    a single ``convs``/``to_rgbs`` decoder branch."""
+    return import_dual_styleunet(sd, prefix, net,
+                                 branches=(("convs", "to_rgbs"),))
 
 
 def import_avatar_params(path_or_sd, avatar_net, base_params: dict) -> dict:

@@ -181,6 +181,132 @@ def test_dual_styleunet_viewdir_injection_matches_reference(ref_modules):
     np.testing.assert_allclose(our_out, ref_out, atol=5e-4)
 
 
+@pytest.mark.parametrize("mode,ref_cls", [
+    ("base", "DualStyleUNet"),
+    ("add_dwt", "DualStyleUNet_add_dwt"),
+    ("wo_dwt", "DualStyleUNet_wo_dwt"),
+])
+def test_dual_styleunet_v2_matches_reference(ref_modules, mode, ref_cls):
+    """All three v2 variants vs the actual torch classes
+    (ref: network/styleunet/dual_styleunet_v2.py:634,903,1186) with random
+    torch weights exported through import_dual_styleunet_v2: fixed noise,
+    c_dim conditioning, style mixing with explicit inject_index, and
+    truncation toward a fixed latent."""
+    del ref_modules  # stubs + sys.path fixture ran
+    sys.path.insert(0, REF)
+    try:
+        from network.styleunet import dual_styleunet_v2 as ref_v2
+    finally:
+        sys.path.remove(REF)
+    from animatablegaussians_tpu.models import styleunet as su
+    from animatablegaussians_tpu.models.styleunet_v2 import DualStyleUNetV2
+    from animatablegaussians_tpu.training.checkpoint import \
+        import_dual_styleunet_v2
+    import jax.numpy as jnp
+
+    torch.manual_seed(3)
+    c_dim = 16
+    kw = dict(inp_size=64, inp_ch=3, out_ch=3, out_size=64,
+              style_dim=32, n_mlp=2, c_dim=c_dim)
+    ref_net = getattr(ref_v2, ref_cls)(**kw).eval()
+    sd = {k: v.detach().numpy() for k, v in ref_net.state_dict().items()}
+
+    our_net = DualStyleUNetV2(mode=mode, **kw)
+    params = import_dual_styleunet_v2(sd, "", our_net)
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    z1 = rng.standard_normal((2, 32)).astype(np.float32)
+    z2 = rng.standard_normal((2, 32)).astype(np.float32)
+    cond = rng.standard_normal((2, c_dim)).astype(np.float32)
+    trunc_lat = rng.standard_normal((1, 32)).astype(np.float32)
+    inject_index = 2
+
+    t = torch.from_numpy
+    with torch.no_grad():
+        ref_out, ref_lat = ref_net(
+            [t(z1), t(z2)], t(x.transpose(0, 3, 1, 2)), cond=t(cond),
+            randomize_noise=False, inject_index=inject_index,
+            truncation=0.7, truncation_latent=t(trunc_lat),
+            return_latents=True)
+    ref_out = ref_out.numpy().transpose(0, 2, 3, 1)
+
+    old = su.CONV_PRECISION
+    su.set_conv_precision("highest")
+    try:
+        our_out, our_lat = our_net.apply(
+            params, [jnp.asarray(z1), jnp.asarray(z2)], jnp.asarray(x),
+            cond=jnp.asarray(cond), randomize_noise=False,
+            inject_index=inject_index, truncation=0.7,
+            truncation_latent=jnp.asarray(trunc_lat), return_latents=True)
+    finally:
+        su.set_conv_precision(old)
+
+    assert our_out.shape == ref_out.shape
+    np.testing.assert_allclose(np.asarray(our_lat), ref_lat.numpy(),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(our_out), ref_out, atol=2e-4,
+                               err_msg=f"DualStyleUNetV2[{mode}] diverges "
+                                       "from the torch reference")
+
+
+def test_swgan_unet_matches_reference(ref_modules):
+    """Single-decoder StyleUNet ``SWGAN_unet``
+    (ref: network/styleunet/styleunet.py:634-860) vs our SWGANUnet under
+    imported random torch weights: fixed noise, style mixing with explicit
+    inject_index."""
+    del ref_modules
+    sys.path.insert(0, REF)
+    try:
+        from network.styleunet import styleunet as ref_su
+    finally:
+        sys.path.remove(REF)
+    from animatablegaussians_tpu.models import styleunet as su
+    from animatablegaussians_tpu.models.styleunet_v2 import SWGANUnet
+    from animatablegaussians_tpu.training.checkpoint import import_swgan_unet
+    import jax.numpy as jnp
+
+    torch.manual_seed(5)
+    kw = dict(inp_size=64, inp_ch=3, out_ch=3, out_size=64,
+              style_dim=32, n_mlp=2)
+    ref_net = ref_su.SWGAN_unet(**kw).eval()
+    sd = {k: v.detach().numpy() for k, v in ref_net.state_dict().items()}
+
+    our_net = SWGANUnet(**kw)
+    params = import_swgan_unet(sd, "", our_net)
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    z1 = rng.standard_normal((2, 32)).astype(np.float32)
+    z2 = rng.standard_normal((2, 32)).astype(np.float32)
+    inject_index = 3
+
+    t = torch.from_numpy
+    with torch.no_grad():
+        ref_out, ref_lat = ref_net(
+            [t(z1), t(z2)], t(x.transpose(0, 3, 1, 2)),
+            randomize_noise=False, inject_index=inject_index,
+            return_latents=True)
+    ref_out = ref_out.numpy().transpose(0, 2, 3, 1)
+
+    old = su.CONV_PRECISION
+    su.set_conv_precision("highest")
+    try:
+        our_out, our_lat = our_net.apply(
+            params, [jnp.asarray(z1), jnp.asarray(z2)], jnp.asarray(x),
+            randomize_noise=False, inject_index=inject_index,
+            return_latents=True)
+    finally:
+        su.set_conv_precision(old)
+
+    assert our_out.shape == ref_out.shape
+    np.testing.assert_allclose(np.asarray(our_lat), ref_lat.numpy(),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(our_out), ref_out, atol=2e-4,
+                               err_msg="SWGAN_unet diverges from the torch "
+                                       "reference")
+
+
 def test_discriminator_matches_reference(ref_modules):
     """Logit agreement with the reference StyleGAN2 Discriminator
     (ref: network/styleunet/dual_styleunet.py:473-567) under imported
