@@ -135,8 +135,13 @@ def test_dual_styleunet_matches_reference(ref_modules):
 
 def test_dual_styleunet_viewdir_injection_matches_reference(ref_modules):
     """view_feature add at the i==8 feature level must match
-    (ref: dual_styleunet.py:881-883,900-902). Needs out_size >= 128 so the
-    decoder reaches a 5th stage."""
+    (ref: dual_styleunet.py:881-883,900-902). The decoder only reaches
+    i==8 at its 5th stage AND only uses the injected features if a 6th
+    stage follows (the add lands after the last to_rgb otherwise), i.e.
+    out_size = 1024 — exactly the production config
+    (ref: network/avatar.py:34-36). Smaller out_sizes make injection a
+    silent no-op: the round-2 version of this test used out_size=256 and
+    was vacuous. channel_multiplier=1 keeps the 1024^2 net CPU-affordable."""
     _, ref_dsu = ref_modules
     from animatablegaussians_tpu.models import styleunet as su
     from animatablegaussians_tpu.training.checkpoint import \
@@ -144,8 +149,8 @@ def test_dual_styleunet_viewdir_injection_matches_reference(ref_modules):
     import jax.numpy as jnp
 
     torch.manual_seed(1)
-    kw = dict(inp_size=64, inp_ch=3, out_ch=2, out_size=256,
-              style_dim=32, n_mlp=2)
+    kw = dict(inp_size=64, inp_ch=3, out_ch=2, out_size=1024,
+              style_dim=32, n_mlp=2, channel_multiplier=1)
     ref_net = ref_dsu.DualStyleUNet(**kw).eval()
     sd = {f"net.{k}": v.detach().numpy()
           for k, v in ref_net.state_dict().items()}
@@ -156,9 +161,24 @@ def test_dual_styleunet_viewdir_injection_matches_reference(ref_modules):
     x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
     style = rng.standard_normal((1, 32)).astype(np.float32)
     # view features at an arbitrary resolution; both impls resize to the
-    # i==8 feature map bilinearly
-    vf1 = rng.standard_normal((1, 16, 16, 512)).astype(np.float32)
-    vf2 = rng.standard_normal((1, 16, 16, 512)).astype(np.float32)
+    # i==8 feature map bilinearly. channel count must match the i==8
+    # stage width (channels[256] = 64 * multiplier).
+    vf1 = rng.standard_normal((1, 16, 16, 64)).astype(np.float32)
+    vf2 = rng.standard_normal((1, 16, 16, 64)).astype(np.float32)
+    # guard against the vacuous-regression: injection must CHANGE the
+    # output at this configuration
+    with torch.no_grad():
+        base_out = ref_net([torch.from_numpy(style)],
+                           torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                           randomize_noise=False)[0]
+        inj_out = ref_net([torch.from_numpy(style)],
+                          torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                          randomize_noise=False,
+                          view_feature1=torch.from_numpy(
+                              vf1.transpose(0, 3, 1, 2)),
+                          view_feature2=torch.from_numpy(
+                              vf2.transpose(0, 3, 1, 2)))[0]
+    assert (base_out - inj_out).abs().max().item() > 1e-3
 
     with torch.no_grad():
         ref_out = ref_net(
