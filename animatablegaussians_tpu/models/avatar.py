@@ -65,12 +65,39 @@ class AvatarNet:
         self.cano_smpl_map = jnp.asarray(cano_smpl_map, jnp.float32)
         mask = np.linalg.norm(np.asarray(cano_smpl_map), axis=-1) > 0.0
         self.cano_smpl_mask = mask
-        iy, ix = np.nonzero(mask)
-        self.mask_iy = jnp.asarray(iy, jnp.int32)   # (N,) static gather idx
-        self.mask_ix = jnp.asarray(ix, jnp.int32)
-        self.n_points = int(iy.shape[0])
+
+        # Block-packed masked-texel layout. XLA's TPU scatter/gather cost is
+        # per-INDEX (~10-100 ns each; the round-2 fused select's VJP scatter
+        # alone was ~26 ms/step at 518k texels). Selecting whole runs of
+        # `texel_block` consecutive texels cuts the index count ~8x: the
+        # point set becomes every texel of every 8-texel run that touches
+        # the mask (~8% padding points, carried with a static validity mask
+        # that zeroes their opacity/radii/losses). texel_block=1 reproduces
+        # the exact-texel layout.
+        self.texel_block = tb = int(opt.get("texel_block", 8))
+        assert (self.map_h * self.map_w) % tb == 0
+        flat = mask.reshape(-1)
+        block_idx = np.nonzero(flat.reshape(-1, tb).any(axis=1))[0]
+        self.block_idx = jnp.asarray(block_idx, jnp.int32)   # (B,)
+        self.n_blocks = int(block_idx.shape[0])
+        t = (block_idx[:, None] * tb + np.arange(tb)[None]).reshape(-1)
+        iy = (t // self.map_w).astype(np.int32)
+        ix = (t % self.map_w).astype(np.int32)
+        self.mask_iy = jnp.asarray(iy)              # (N,) static gather idx
+        self.mask_ix = jnp.asarray(ix)
+        self.valid_np = flat[t]                     # (N,) pad mask (static)
+        self.valid = jnp.asarray(self.valid_np)
+        self.valid_f = jnp.asarray(self.valid_np.astype(np.float32))
+        self.n_points = int(t.shape[0])             # padded count N'
+        self.n_valid = int(self.valid_np.sum())
         self.init_points = self.cano_smpl_map[self.mask_iy, self.mask_ix]
-        self.lbs = jnp.asarray(init_pts_lbs, jnp.float32)  # (N, J)
+        lbs_np = np.asarray(init_pts_lbs, np.float32)
+        assert lbs_np.shape[0] == self.n_valid, (
+            f"init_pts_lbs has {lbs_np.shape[0]} rows for {self.n_valid} "
+            "masked texels")
+        lbs_pad = np.zeros((self.n_points, lbs_np.shape[1]), np.float32)
+        lbs_pad[self.valid_np] = lbs_np
+        self.lbs = jnp.asarray(lbs_pad)             # (N, J); zero rows at pads
 
         if self.with_viewdirs:
             assert cano_nml_map is not None
@@ -117,24 +144,34 @@ class AvatarNet:
 
     # -- map <-> point-set plumbing ------------------------------------
     def _select_masked(self, full_map: jnp.ndarray) -> jnp.ndarray:
-        """(H, 2H, C) -> (N, C) at the canonical mask texels.
+        """(H, 2H, C) -> (N, C) at the block-packed mask texels.
 
-        The mask texel indices come from a row-major nonzero scan: unique and
-        sorted — annotate so XLA takes the fast gather path (the generic
-        path costs ~30 ns/row on TPU; see BASELINE.md cost model)."""
-        return full_map.at[self.mask_iy, self.mask_ix].get(
-            unique_indices=True, indices_are_sorted=True,
-            mode="promise_in_bounds")
+        One gather of B block rows (each ``texel_block`` consecutive texels
+        x C channels) instead of N single-texel rows: XLA's TPU gather and
+        its scatter-add VJP pay per index, so 8-texel runs are ~8x cheaper
+        (the VJP of this select was the single biggest op of the round-2
+        step at ~26 ms). Indices are static, unique, sorted."""
+        C = full_map.shape[-1]
+        blocks = full_map.reshape(-1, self.texel_block, C).at[
+            self.block_idx].get(unique_indices=True, indices_are_sorted=True,
+                                mode="promise_in_bounds")
+        return blocks.reshape(self.n_points, C)
 
     def _scatter_masked(self, vals: jnp.ndarray, channels: int = 0):
-        shape = ((self.map_h, self.map_w) if channels == 0 else
-                 (self.map_h, self.map_w, channels))
-        # unique+sorted static indices: scatter-set fast path (~0.6 ns/idx
-        # vs ~60-160 ns/idx generic, measured on v5e)
-        return jnp.zeros(shape, jnp.float32).at[
-            self.mask_iy, self.mask_ix].set(
-            vals, unique_indices=True, indices_are_sorted=True,
-            mode="promise_in_bounds")
+        """(N, [C]) point values -> (H, 2H, [C]) map, zeros elsewhere.
+
+        Pad texels receive their point's value — their per-point inputs
+        (zero LBS rows, zero normals) make those values 0 on every call
+        path (viewdir dots, pose-map regen), matching the exact-texel
+        layout."""
+        tb = self.texel_block
+        C = max(channels, 1)
+        grid = (self.map_h * self.map_w) // tb
+        out = jnp.zeros((grid, tb, C), jnp.float32).at[self.block_idx].set(
+            vals.reshape(self.n_blocks, tb, C), unique_indices=True,
+            indices_are_sorted=True, mode="promise_in_bounds")
+        out = out.reshape(self.map_h, self.map_w, C)
+        return out[..., 0] if channels == 0 else out
 
     def _net_out_to_map(self, out: jnp.ndarray, out_ch: int) -> jnp.ndarray:
         """CNN output (1, S, S, 2C) -> (S, 2S, C) front|back map."""
@@ -336,7 +373,8 @@ class AvatarNet:
                              scales=scales, rotations=rotations,
                              colors=colors,
                              max_sh_degree=self.max_sh_degree)
-        nonrigid_offset = cano_pts - self.init_points
+        # pad points excluded: their CNN texels are garbage, not offsets
+        nonrigid_offset = (cano_pts - self.init_points) * self.valid_f[:, None]
         gaussian_vals = self.transform_cano2live(gaussian_vals, items)
 
         # image size must be static under jit; allow override, else items
@@ -349,11 +387,13 @@ class AvatarNet:
                      gaussian_vals["colors"], bg,
                      items["extr"], items["intr"],
                      img_w, img_h,
-                     config=self.raster_config)
+                     config=self.raster_config,
+                     valid_mask=self.valid)
 
         ret = dict(rgb_map=out["render"], mask_map=out["mask"],
                    depth_map=out["depth"], offset=nonrigid_offset,
-                   pos_map=pos_map, n_overflow=out["n_overflow"])
+                   pos_map=pos_map, n_overflow=out["n_overflow"],
+                   n_pairs=out["n_pairs"])
         if not training:
             ret.update(cano_tex_map=color_map, posed_gaussians=gaussian_vals)
         return ret

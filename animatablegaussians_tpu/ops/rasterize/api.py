@@ -134,6 +134,8 @@ def render(
     config: RasterizeConfig = RasterizeConfig(),
     shs: jnp.ndarray = None,   # (N, (deg+1)^2, 3) SH coeffs (alt. to colors)
     max_sh_degree: int = 0,
+    valid_mask: jnp.ndarray = None,  # (N,) bool: statically-invalid points
+                                     # (block-packing pads) are never binned
 ) -> dict:
     assert (colors is None) != (shs is None) or shs is None, \
         "pass colors or shs, not both"
@@ -149,6 +151,9 @@ def render(
 
     pre = preprocess(means3d, scales, rotations, viewmatrix, projmatrix,
                      tan_fovx, tan_fovy, img_w, img_h, scale_modifier)
+    if valid_mask is not None:
+        pre = pre._replace(valid=pre.valid & valid_mask,
+                           radii=jnp.where(valid_mask, pre.radii, 0))
 
     rows = _pack_rows(pre, opacities, colors)          # (N, 16)
 
@@ -191,7 +196,7 @@ def render(
     return dict(render=color, depth=depth, mask=alpha, radii=pre.radii,
                 visibility_filter=pre.radii > 0,   # ref: renderer.py:104
                 means2d=pre.means2d,               # viewspace positions
-                n_overflow=n_overflow)
+                n_overflow=n_overflow, n_pairs=bins.n_pairs)
 
 
 def precompute_sh_colors(shs: jnp.ndarray, max_sh_degree: int,

@@ -31,6 +31,9 @@ class TileBins(NamedTuple):
     tile_ids: jnp.ndarray     # (A,) int32 tile indices the rows refer to
     n_overflow: jnp.ndarray   # () int32: dropped (gaussian,tile) pairs
                               # (rect cap + per-tile cap + inactive tiles)
+    n_pairs: jnp.ndarray      # () int32: TRUE total (gaussian, tile) pairs
+                              # before any cap (the reference's num_rendered,
+                              # rasterizer_impl.cu:281-286)
     order: jnp.ndarray        # (N,) int32 depth order: rank -> gaussian id
 
 
@@ -133,4 +136,5 @@ def bin_gaussians(
                     tile_ids=tile_ids,
                     n_overflow=(rect_overflow
                                 + tile_overflow).astype(jnp.int32),
+                    n_pairs=jnp.sum(ntiles).astype(jnp.int32),
                     order=order)

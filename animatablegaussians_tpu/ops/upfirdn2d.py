@@ -55,6 +55,50 @@ def _norm_pad(pad) -> Tuple[int, int, int, int]:
     return tuple(pad)  # (px0, px1, py0, py1)
 
 
+# Pallas FIR path: "auto" enables ops/fir_pallas.py for separable kernels on
+# real TPU. Default "off": measured on v5e (round 3), the fused Pallas FIR is
+# numerically exact but SLOWER than the XLA conv path end-to-end (DualStyleUNet
+# fwd 28.5 -> 45.9 ms) — the small (8, W, C) blocks leave the kernel dominated
+# by relayout/pipeline overhead. Kept (with exact tests) as the starting point
+# for a future tuning pass.
+PALLAS_FIR = "off"
+_FACTOR_CACHE: dict = {}
+
+
+def set_pallas_fir(mode: str):
+    global PALLAS_FIR
+    PALLAS_FIR = mode
+
+
+def _try_pallas_fir(x, kernel, up, down, pad4):
+    if PALLAS_FIR == "off" or up > 2 or down > 2:
+        return None
+    if x.shape[-1] < 32:
+        # narrow-channel images lane-pad 4-42x in VMEM (blocks overflow the
+        # scoped limit) and are cheap on the conv path anyway
+        return None
+    if not isinstance(kernel, np.ndarray):
+        return None                      # traced kernels: conv path
+    try:
+        import jax
+        if jax.default_backend() != "tpu":
+            return None
+    except Exception:
+        return None
+    key = (kernel.tobytes(), kernel.shape)
+    if key not in _FACTOR_CACHE:
+        from animatablegaussians_tpu.ops.fir_pallas import separable_factors
+        _FACTOR_CACHE[key] = separable_factors(kernel)
+    fac = _FACTOR_CACHE[key]
+    if fac is None:
+        return None
+    from animatablegaussians_tpu.ops.fir_pallas import upfirdn2d_pallas
+    kv, kh = fac
+    out = upfirdn2d_pallas(x, tuple(kv.tolist()), tuple(kh.tolist()),
+                           up, down, pad4)
+    return out.astype(x.dtype)
+
+
 def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up: int = 1, down: int = 1,
               pad=(0, 0)) -> jnp.ndarray:
     """Upsample (zero-stuff) by `up`, pad, FIR-filter, downsample by `down`.
@@ -65,6 +109,9 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up: int = 1, down: int = 1,
     folded into the right/bottom padding here.
     """
     px0, px1, py0, py1 = _norm_pad(pad)
+    out = _try_pallas_fir(x, kernel, up, down, (px0, px1, py0, py1))
+    if out is not None:
+        return out
     kernel = jnp.asarray(kernel, dtype=x.dtype)
     c = x.shape[-1]
     # True convolution = cross-correlation with the flipped kernel.

@@ -226,10 +226,14 @@ def run_test(trainer, opt: dict):
         if opt_test.get("save_ply", False):
             os.makedirs(os.path.join(output_dir, "posed_gaussians"),
                         exist_ok=True)
+            # drop the block-packing pad points (statically invalid)
+            vmask = np.asarray(trainer.avatar_net.valid_np)
             save_gaussians_as_ply(
                 os.path.join(output_dir, "posed_gaussians",
                              "%08d.ply" % item["data_idx"]),
-                {k: np.asarray(v) for k, v in
-                 output["posed_gaussians"].items()
+                {k: (np.asarray(v)[vmask]
+                     if np.ndim(v) > 0 and np.shape(v)[0] == vmask.shape[0]
+                     else np.asarray(v))
+                 for k, v in output["posed_gaussians"].items()
                  if not np.isscalar(v)})
     return output_dir

@@ -74,15 +74,23 @@ def make_optimizer(lr_init: float = 5e-4, iter_num: int = 800_000,
 # ---------------------------------------------------------------------------
 
 def make_pretrain_step(avatar_net, optimizer):
+    # block-packing pad points (avatar_net.valid_f == 0) carry garbage CNN
+    # texels; the regression targets only exist at real masked texels
+    vm = avatar_net.valid_f[:, None]
+    inv_n = 1.0 / float(avatar_net.n_valid)
+
+    def masked_l1(a, b):
+        return (jnp.abs(a - jax.lax.stop_gradient(b)) * vm).sum() \
+            * (inv_n / a.shape[-1])
+
     def loss_fn(params, pose_map):
         g = params["cano_gaussian"]
         positions = avatar_net.get_positions(params, pose_map)
         opacity, scales, rotations = avatar_net.get_others(params, pose_map)
-        tgt = jax.lax.stop_gradient
-        lp = jnp.abs(positions - tgt(g.get_xyz)).mean()
-        lo = jnp.abs(opacity - tgt(g.get_opacity)).mean()
-        ls = jnp.abs(scales - tgt(g.get_scaling)).mean()
-        lr_ = jnp.abs(rotations - tgt(g.get_rotation)).mean()
+        lp = masked_l1(positions, g.get_xyz)
+        lo = masked_l1(opacity, g.get_opacity)
+        ls = masked_l1(scales, g.get_scaling)
+        lr_ = masked_l1(rotations, g.get_rotation)
         total = lp + lo + ls + lr_
         return total, dict(position=lp, opacity=lo, scale=ls, rotation=lr_,
                            total_loss=total)
@@ -181,6 +189,8 @@ def compute_losses(avatar_net, params, items, rng, iter_idx, *,
     if "n_overflow" in out:
         terms["n_overflow"] = jax.lax.stop_gradient(
             out["n_overflow"]).astype(jnp.float32)
+        terms["n_pairs"] = jax.lax.stop_gradient(
+            out["n_pairs"]).astype(jnp.float32)
     return total, terms
 
 

@@ -218,6 +218,20 @@ class AvatarTrainer:
 
                 if self.iter_idx % self.log_interval == 0:
                     terms = {k: float(v) for k, v in terms.items()}
+                    # Loud overflow check: the CUDA reference never drops a
+                    # (gaussian, tile) pair (rasterizer_impl.cu:281-286);
+                    # material overflow here means the static binning caps
+                    # are cropping the scene and both the image and its
+                    # gradients are wrong — do not let it scroll by in TB.
+                    n_of = terms.get("n_overflow", 0.0)
+                    n_pairs = max(terms.get("n_pairs", 0.0), 1.0)
+                    if n_of > 0.001 * n_pairs:
+                        print(f"WARNING: binning caps dropped "
+                              f"{int(n_of)} of {int(n_pairs)} "
+                              f"(gaussian, tile) pairs "
+                              f"({100.0 * n_of / n_pairs:.2f}% > 0.1%) — "
+                              f"raise RasterizeConfig k_max/max_dup/"
+                              f"max_active_tiles")
                     for k, v in terms.items():
                         smooth[k] = smooth.get(k, v) * 0.9 + v * 0.1
                         if writer:

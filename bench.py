@@ -147,8 +147,106 @@ def bench_fps():
     }))
 
 
+def bench_dp():
+    """Data-parallel step: aggregate it/s over the visible mesh plus the
+    measured per-step DP overhead (pmean + shard_map plumbing + input
+    resharding) vs a single-device step at IDENTICAL shapes. On the one
+    real TPU chip the mesh degenerates to 1 device (overhead only); on the
+    8-virtual-CPU CI mesh it includes the real collective. Feeds the
+    BASELINE.md v5p-8 extrapolation with a measured number instead of an
+    assumption."""
+    import __graft_entry__ as ge
+    ge._honor_cpu_request()  # JAX_PLATFORMS=cpu is pinned to axon otherwise
+    import jax
+    import jax.numpy as jnp
+
+    from animatablegaussians_tpu.parallel import (make_dp_train_step,
+                                                  make_mesh, shard_batch)
+    from animatablegaussians_tpu.parallel.data_parallel import replicate
+    from animatablegaussians_tpu.training import avatar_trainer as at
+    from animatablegaussians_tpu.training.lpips import init_random
+    from animatablegaussians_tpu.utils import synthetic
+    from animatablegaussians_tpu.utils.jax_cache import \
+        enable_compilation_cache
+    from animatablegaussians_tpu.models import styleunet as su
+
+    enable_compilation_cache()
+    su.set_conv_precision("default")
+    n = len(jax.devices())
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:  # full bench scale
+        map_h, img_w, img_h, ch = MAP_H, IMG_W, IMG_H, 512
+        raster_kw, patch, iters = RASTER_KW, 512, ITERS
+    else:       # virtual-CPU mesh: small shapes, the overhead is the point
+        map_h, img_w, img_h, ch = 128, 128, 128, 64
+        raster_kw, patch, iters = dict(k_max=128, max_dup=8), 64, 3
+
+    net, params, _ = ge._build_avatar(map_h=map_h, img=img_w,
+                                      raster_kw=raster_kw, channel_max=ch,
+                                      remat=False)
+    pos, _, _ = synthetic.make_cano_map(map_h=map_h)
+    optimizer = at.make_optimizer(lr_init=5e-4, iter_num=800_000)
+    lpips_params = init_random(jax.random.PRNGKey(7))
+    lw = dict(l1=1.0, lpips=0.1, offset=0.005)
+    kw = dict(loss_weight=lw, lpips_params=lpips_params, patch_size=patch,
+              img_w=img_w, img_h=img_h)
+
+    # single-device reference step at identical shapes
+    step1 = at.make_train_step(net, optimizer, donate=False, **kw)
+    items1_np = synthetic.make_items(img_w=img_w, img_h=img_h, seed=0,
+                                     cano_pos_map=pos)
+    items1 = {k: jnp.asarray(v) for k, v in items1_np.items()}
+    state1 = at.TrainState(params, optimizer.init(params),
+                           jnp.zeros((), jnp.int32))
+    rng = jax.random.PRNGKey(0)
+    for i in range(WARMUP):
+        state1, _ = step1(state1, items1, jax.random.fold_in(rng, i))
+    jax.block_until_ready(state1.params)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state1, _ = step1(state1, items1, jax.random.fold_in(rng, 99 + i))
+    jax.block_until_ready(state1.params)
+    t_single = (time.perf_counter() - t0) / iters
+
+    # DP step over the full visible mesh
+    step_ax = at.make_train_step(net, optimizer, axis_name="data", **kw)
+    mesh = make_mesh(n)
+    dp_step = make_dp_train_step(step_ax, mesh)
+    batch = synthetic.batch_items(
+        [synthetic.make_items(img_w=img_w, img_h=img_h, seed=i,
+                              cano_pos_map=pos) for i in range(n)])
+    batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
+    rngs = shard_batch(mesh, jax.random.split(jax.random.PRNGKey(3), n))
+    state = replicate(mesh, at.TrainState(params, optimizer.init(params),
+                                          jnp.zeros((), jnp.int32)))
+
+    for _ in range(WARMUP):
+        state, terms = dp_step(state, batch, rngs)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, terms = dp_step(state, batch, rngs)
+    jax.block_until_ready(state.params)
+    t_dp = (time.perf_counter() - t0) / iters
+
+    aggregate = n / t_dp
+    print(f"dp: mesh={n}x{jax.default_backend()} step {t_dp * 1e3:.1f} ms "
+          f"(single-device {t_single * 1e3:.1f} ms) -> DP overhead "
+          f"{(t_dp - t_single) * 1e3:.1f} ms/step "
+          f"({(t_dp / t_single - 1) * 100:.1f}%), aggregate "
+          f"{aggregate:.3f} it/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "avatar_train_step_dp_aggregate",
+        "value": round(aggregate, 3),
+        "unit": "it/s",
+        "vs_baseline": round(aggregate / A100_BASELINE_IT_S, 3),
+    }))
+
+
 if __name__ == "__main__":
     if "--fps" in sys.argv:
         bench_fps()
+    elif "--dp" in sys.argv:
+        bench_dp()
     else:
         bench_train()

@@ -57,7 +57,7 @@ def main():
         def runner():
             nonlocal state
             state, terms = step(state, items, rng)
-            host_sync(terms["total"])
+            host_sync(terms["total_loss"])
 
     for _ in range(2):
         runner()

@@ -62,7 +62,8 @@ def test_run_test_animates_poses(full_capture, tmp_path):
         load_gaussians_from_ply
     g = load_gaussians_from_ply(os.path.join(out_dir, "posed_gaussians",
                                              plys[0]))
-    assert g["positions"].shape[0] == trainer.avatar_net.n_points
+    # PLY export filters the block-packing pad points
+    assert g["positions"].shape[0] == trainer.avatar_net.n_valid
 
 
 def test_run_test_fix_hand(full_capture, tmp_path):

@@ -132,14 +132,18 @@ def test_composed_pose_map_to_image_parity(ref_dsu):
         m = torch.cat([front, back], 3)[0].permute(1, 2, 0).numpy()
         return m[mask]                                     # (N, out_ch)
 
+    # our point set is block-packed (padded); the torch-side assembly works
+    # in the reference's exact-masked-texel order == our valid rows
+    vmask = np.asarray(net.valid_np)
     g = params["cano_gaussian"]
-    xyz = np.asarray(g.get_xyz)
+    xyz = np.asarray(g.get_xyz)[vmask]
     delta = run_head("position_net", 3)
     cano_pts = 0.05 * delta + xyz                          # avatar.py:98-101
     others = run_head("other_net", 8)                      # avatar.py:106-116
-    opacity = 1.0 / (1.0 + np.exp(-(others[:, 0:1] + np.asarray(g.opacity))))
-    scales = np.exp(others[:, 1:4] + np.asarray(g.scaling))
-    rot_raw = others[:, 4:8] + np.asarray(g.rotation)
+    opacity = 1.0 / (1.0 + np.exp(
+        -(others[:, 0:1] + np.asarray(g.opacity)[vmask])))
+    scales = np.exp(others[:, 1:4] + np.asarray(g.scaling)[vmask])
+    rot_raw = others[:, 4:8] + np.asarray(g.rotation)[vmask]
     rotations = rot_raw / np.linalg.norm(rot_raw, axis=1, keepdims=True)
     colors = run_head("color_net", 3)
 
@@ -161,15 +165,15 @@ def test_composed_pose_map_to_image_parity(ref_dsu):
                          img_w=img_w, img_h=img_h)
         pg = out["posed_gaussians"]
 
-        np.testing.assert_allclose(np.asarray(pg["positions"]), live_pts,
-                                   atol=5e-5)
-        np.testing.assert_allclose(np.asarray(pg["opacity"]), opacity,
+        np.testing.assert_allclose(np.asarray(pg["positions"])[vmask],
+                                   live_pts, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(pg["opacity"])[vmask], opacity,
                                    atol=2e-5)
-        np.testing.assert_allclose(np.asarray(pg["scales"]), scales,
+        np.testing.assert_allclose(np.asarray(pg["scales"])[vmask], scales,
                                    rtol=2e-4, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(pg["colors"]), colors,
+        np.testing.assert_allclose(np.asarray(pg["colors"])[vmask], colors,
                                    atol=2e-4)
-        q_ours = np.asarray(pg["rotations"])
+        q_ours = np.asarray(pg["rotations"])[vmask]
         qdiff = np.minimum(np.abs(q_ours - live_quats).max(1),
                            np.abs(q_ours + live_quats).max(1))
         assert qdiff.max() < 5e-4
