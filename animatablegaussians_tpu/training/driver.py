@@ -72,6 +72,17 @@ class AvatarTrainer:
         img_h = int(self.dataset.img_heights[self.dataset.used_cam_ids[0]])
         self.img_w, self.img_h = img_w, img_h
 
+        # Two-pass binning-cap sizing (count pass -> static caps -> compile):
+        # the CUDA reference sizes its pair buffers dynamically per frame and
+        # never drops (rasterizer_impl.cu:278-309); the TPU static-shape
+        # answer is to measure the subject's canonical-init workload over
+        # sample frames and compile with covering caps. Drift past the
+        # margin at train time trips the loud n_overflow warning below.
+        if opt.get("model", {}).get("autosize_raster", True):
+            self._autosize_raster(
+                margin=float(opt.get("model", {}).get(
+                    "autosize_margin", 1.5)))
+
         self.optimizer = at.make_optimizer(
             self.lr_init, self.ITER_NUM, finetune_color=self.finetune_color)
         self.state = at.TrainState(self.params,
@@ -130,6 +141,26 @@ class AvatarTrainer:
                 os.path.join(data_dir, "smpl_pos_map",
                              "cano_smpl_nml_map.exr"))
         return AvatarNet(model_opt, cano_map, lbs, cano_nml_map=nml)
+
+    def _autosize_raster(self, n_sample: int = 4, margin: float = 1.5):
+        """Count-only pass over sample frames -> static caps (see
+        ops/rasterize/autosize.py). Uses the net's actual init scales."""
+        from animatablegaussians_tpu.ops.rasterize import autosize as az
+        n = len(self.dataset)
+        idxs = sorted({int(i)
+                       for i in np.linspace(0, n - 1, min(n_sample, n))})
+        items = [self.dataset.getitem(i, training=True, skip_images=True)
+                 for i in idxs]
+        cfg = az.autosize_for_avatar(
+            self.avatar_net, items, self.img_w, self.img_h,
+            scales=jnp.exp(self.params["cano_gaussian"].scaling),
+            margin=margin)
+        old = self.avatar_net.raster_config
+        self.avatar_net.raster_config = cfg
+        print(f"# Auto-sized raster caps: max_dup {old.max_dup}->"
+              f"{cfg.max_dup}, k_max {old.k_max}->{cfg.k_max}, "
+              f"max_active_tiles {old.max_active_tiles}->"
+              f"{cfg.max_active_tiles}")
 
     # ------------------------------------------------------------------
     def _items_to_device(self, item: dict) -> dict:
