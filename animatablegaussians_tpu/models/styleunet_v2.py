@@ -200,10 +200,14 @@ class DualStyleUNetV2:
                 latent = styles[0]
         else:
             # style mixing: layers < inject_index from styles[0], the rest
-            # from styles[1] (ref: v2:836-843). inject_index must be static
-            # under jit; default to the midpoint instead of randint.
+            # from styles[1] (ref: v2:836-843). The reference draws a
+            # host-side random.randint(1, n_latent-1) per eager call; we
+            # match that draw here. inject_index must be static under jit
+            # (it shapes the repeat), so jitted callers should pass an
+            # explicit index — each distinct draw is a retrace otherwise.
             if inject_index is None:
-                inject_index = self.n_latent // 2
+                import random as _random
+                inject_index = _random.randint(1, self.n_latent - 1)
             l1 = jnp.repeat(styles[0][:, None], inject_index, axis=1)
             l2 = jnp.repeat(styles[1][:, None],
                             self.n_latent - inject_index, axis=1)
