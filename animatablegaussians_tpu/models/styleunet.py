@@ -197,8 +197,11 @@ def _upblur_compose_mat(k: int) -> jnp.ndarray:
                     kj0, kj1 = max(0, b - kb + 1), min(k, b + 1)
                     for jj in range(kj0, kj1):
                         m[a, b, kk, jj] = b4[a - kk, b - jj]
-        _UPBLUR_COMPOSE[key] = jnp.asarray(m)
-    return _UPBLUR_COMPOSE[key]
+        # cache the NUMPY array: jnp.asarray inside a jit trace yields a
+        # tracer, and caching that leaks it across traces
+        # (UnexpectedTracerError on the next trace).
+        _UPBLUR_COMPOSE[key] = m
+    return jnp.asarray(_UPBLUR_COMPOSE[key])
 
 
 def _up_conv_polyphase(xi, w):

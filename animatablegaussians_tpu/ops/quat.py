@@ -10,7 +10,13 @@ import jax.numpy as jnp
 
 
 def normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+    """Zero-safe L2 normalize: q=0 maps to 0 with zero (not NaN) gradient.
+    jnp.linalg.norm's VJP at 0 is 0/0 even under a maximum() guard, so the
+    sum-of-squares is double-where'd before the sqrt."""
+    sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    pos = sq > eps * eps
+    norm = jnp.sqrt(jnp.where(pos, sq, 1.0))
+    return jnp.where(pos, q / norm, 0.0)
 
 
 def quat_to_mat(q: jnp.ndarray) -> jnp.ndarray:

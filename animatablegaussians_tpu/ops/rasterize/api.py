@@ -41,6 +41,13 @@ class RasterizeConfig:
     max_active_tiles: int = 6144
     # lane width of the backward scatter rows (>=16; 128 = fastest on v5e)
     scatter_pad: int = 128
+    # ragged mode: >0 switches binning/blending to the flat chunked layout
+    # (see binning.RaggedBins) with this many 128-pair chunks. Removes the
+    # per-tile k_max cap entirely (never-drop within tiles, like the CUDA
+    # flat pair list) and shrinks gather/scatter volume from A*k_max slots
+    # to the padded true pair count. Requires the pallas backend (or
+    # interpret mode off-TPU); k_max is ignored.
+    n_chunks: int = 0
     # "auto": Pallas kernel on TPU, pure-XLA reference blend elsewhere
     # (interpret-mode pallas emulation is pathologically slow to compile
     # on CPU); "pallas" | "ref" force a backend.
@@ -157,27 +164,51 @@ def render(
 
     rows = _pack_rows(pre, opacities, colors)          # (N, 16)
 
-    # binning performs active-tile compaction internally (top-A tiles by
-    # count; empty tiles never reach the kernels or the gradient scatter)
-    bins = bin_gaussians(pre.means2d, pre.depths, pre.radii, pre.valid,
-                         img_w, img_h, tile=config.tile,
-                         max_dup=config.max_dup, k_max=config.k_max,
-                         max_active_tiles=config.max_active_tiles)
-
     grid_x = -(-img_w // config.tile)
     grid_y = -(-img_h // config.tile)
     T = grid_x * grid_y
     P = config.tile * config.tile
-
     A = min(config.max_active_tiles or T, T)
-    n_overflow = bins.n_overflow
-    counts_a, tile_ids, tile_gid = (bins.tile_count, bins.tile_ids,
-                                    bins.tile_gid)
 
-    tile_data = _gather_tiles(rows, tile_gid, config.scatter_pad)
+    if config.n_chunks > 0:
+        from .binning import bin_gaussians_ragged
+        from .blend_pallas import blend_chunks
+        bins = bin_gaussians_ragged(
+            pre.means2d, pre.depths, pre.radii, pre.valid, img_w, img_h,
+            tile=config.tile, max_dup=config.max_dup,
+            n_chunks=config.n_chunks,
+            max_active_tiles=config.max_active_tiles)
+        n_overflow = bins.n_overflow
+        counts_a, tile_ids = bins.tile_count, bins.tile_ids
+        # sentinel zero row at index N receives pad-slot gathers (and their
+        # scatter-add grads, which the concatenate VJP then drops)
+        rows_s = jnp.concatenate(
+            [rows, jnp.zeros((1, rows.shape[1]), rows.dtype)], axis=0)
+        chunk_data = _gather_tiles(rows_s, bins.chunk_gid,
+                                   config.scatter_pad)   # (C, 16, KB)
+        out_a = blend_chunks(chunk_data, bins.chunk_n, bins.chunk_tid,
+                             bins.chunk_first, bins.chunk_arow, A, grid_x,
+                             config.tile)                # (A, P, 8)
+        # rows of active-list tiles that got no chunk (empty tiles) are
+        # undefined kernel memory: mask them to background
+        bg_row = jnp.zeros((1, P, 8), jnp.float32).at[:, :, 4].set(1.0)
+        out_a = jnp.where((counts_a > 0)[:, None, None], out_a, bg_row)
+    else:
+        # binning performs active-tile compaction internally (top-A tiles
+        # by count; empty tiles never reach the kernels or the gradient
+        # scatter)
+        bins = bin_gaussians(pre.means2d, pre.depths, pre.radii, pre.valid,
+                             img_w, img_h, tile=config.tile,
+                             max_dup=config.max_dup, k_max=config.k_max,
+                             max_active_tiles=config.max_active_tiles)
+        n_overflow = bins.n_overflow
+        counts_a, tile_ids, tile_gid = (bins.tile_count, bins.tile_ids,
+                                        bins.tile_gid)
 
-    out_a = _blend(tile_data, counts_a, tile_ids, grid_x, config.tile,
-                   config.backend)                     # (A, P, 8)
+        tile_data = _gather_tiles(rows, tile_gid, config.scatter_pad)
+
+        out_a = _blend(tile_data, counts_a, tile_ids, grid_x, config.tile,
+                       config.backend)                     # (A, P, 8)
 
     if A < T:
         base = jnp.zeros((T, P, 8), jnp.float32).at[:, :, 4].set(1.0)

@@ -36,6 +36,9 @@ class BinningStats(NamedTuple):
     max_per_tile: int
     n_active_tiles: int
     n_pairs: int
+    # 128-pair chunks the ragged layout needs for this frame:
+    # sum over active tiles of ceil(count / 128) (see binning.RaggedBins)
+    n_chunks: int
 
 
 @partial(jax.jit, static_argnames=("img_w", "img_h", "tile"))
@@ -90,6 +93,7 @@ def measure_binning_stats(points, scales, rotations, extr, intr,
         max_per_tile=int(counts.max()),
         n_active_tiles=int((counts > 0).sum()),
         n_pairs=int(ntiles_np.sum()),
+        n_chunks=int(-(-counts // 128).sum()),
     )
 
 
@@ -99,13 +103,17 @@ def merge_stats(stats_list) -> BinningStats:
         max(s.max_per_tile for s in stats_list),
         max(s.n_active_tiles for s in stats_list),
         max(s.n_pairs for s in stats_list),
+        max(s.n_chunks for s in stats_list),
     )
 
 
 def pick_caps(stats: BinningStats, margin: float = 1.5,
-              base: RasterizeConfig = RasterizeConfig()) -> RasterizeConfig:
+              base: RasterizeConfig = RasterizeConfig(),
+              ragged: bool | None = None) -> RasterizeConfig:
     """Static caps covering the measured workload with margin. k_max rounds
-    up to the Pallas blend's 128-lane blocks; max_dup to a power of two."""
+    up to the Pallas blend's 128-lane blocks; max_dup to a power of two.
+    ``ragged`` sizes the flat chunked layout (binning.RaggedBins) instead of
+    the per-tile k_max rectangle; None inherits base.n_chunks > 0."""
     def round_up(v, m):
         return max(m, -(-v // m) * m)
 
@@ -114,14 +122,18 @@ def pick_caps(stats: BinningStats, margin: float = 1.5,
         md *= 2
     k_max = round_up(int(stats.max_per_tile * margin), 128)
     a = round_up(int(stats.n_active_tiles * margin), 256)
+    if ragged is None:
+        ragged = base.n_chunks > 0
+    n_chunks = round_up(int(stats.n_chunks * margin), 64) if ragged else 0
     return RasterizeConfig(
         tile=base.tile, max_dup=max(md, 8), k_max=k_max,
         max_active_tiles=a, scatter_pad=base.scatter_pad,
-        backend=base.backend)
+        n_chunks=n_chunks, backend=base.backend)
 
 
 def autosize_for_avatar(avatar_net, items_list, img_w: int, img_h: int,
-                        scales=None, margin: float = 1.5) -> RasterizeConfig:
+                        scales=None, margin: float = 1.5,
+                        ragged: bool | None = None) -> RasterizeConfig:
     """Caps for an AvatarNet from its canonical Gaussian geometry skinned to
     sample frames (the post-pretrain scale distribution; see module doc).
     ``scales``: activated (N, 3) canonical scales — pass
@@ -146,5 +158,5 @@ def autosize_for_avatar(avatar_net, items_list, img_w: int, img_h: int,
             tile=avatar_net.raster_config.tile,
             valid_mask=avatar_net.valid))
     cfg = pick_caps(merge_stats(stats), margin,
-                    base=avatar_net.raster_config)
+                    base=avatar_net.raster_config, ragged=ragged)
     return cfg

@@ -25,6 +25,27 @@ import jax
 import jax.numpy as jnp
 
 
+class RaggedBins(NamedTuple):
+    """Flat chunked pair layout (ragged mode, n_chunks > 0): each tile's
+    depth-ordered Gaussian list is padded to a multiple of the blend
+    kernel's KB=128 lanes and laid out contiguously; the Pallas kernels
+    walk 128-pair chunks and carry blend state across chunks of the same
+    tile. No per-tile k_max cap exists in this mode — within-tile pairs are
+    never dropped (parity with the CUDA flat pair list,
+    ref: rasterizer_impl.cu:278-309); only the rect cap (max_dup), the
+    active-tile cap and the global chunk budget can drop, all counted."""
+    chunk_gid: jnp.ndarray    # (C, KB) int32 gaussian ids (pad -> N, any)
+    chunk_n: jnp.ndarray      # (C,) int32 valid entries in chunk [0, KB]
+    chunk_arow: jnp.ndarray   # (C,) int32 output row (active-tile index)
+    chunk_tid: jnp.ndarray    # (C,) int32 global tile id (pixel coords)
+    chunk_first: jnp.ndarray  # (C,) int32 1 iff first chunk of its tile
+    tile_ids: jnp.ndarray     # (A,) int32 active-tile global ids
+    tile_count: jnp.ndarray   # (A,) int32 true per-tile pair counts
+    n_overflow: jnp.ndarray   # () int32 dropped pairs (rect/A/chunk budget)
+    n_pairs: jnp.ndarray      # () int32 true total pairs before caps
+    order: jnp.ndarray        # (N,) int32 depth order
+
+
 class TileBins(NamedTuple):
     tile_gid: jnp.ndarray     # (A, K_MAX) int32 gaussian indices, depth order
     tile_count: jnp.ndarray   # (A,) int32 number of valid entries (capped)
@@ -48,20 +69,11 @@ def tile_rect(means2d, radii, grid_x: int, grid_y: int, tile: int):
     return rx0, ry0, rx1, ry1
 
 
-def bin_gaussians(
-    means2d: jnp.ndarray,      # (N, 2)
-    depths: jnp.ndarray,       # (N,)
-    radii: jnp.ndarray,        # (N,) int32
-    valid: jnp.ndarray,        # (N,) bool
-    img_w: int,
-    img_h: int,
-    tile: int = 16,
-    max_dup: int = 16,
-    k_max: int = 512,
-    max_active_tiles: int = 0,
-) -> TileBins:
-    grid_x = -(-img_w // tile)
-    grid_y = -(-img_h // tile)
+def _sorted_pairs(means2d, depths, radii, valid, grid_x: int, grid_y: int,
+                  tile: int, max_dup: int):
+    """Shared pipeline steps 1-3: depth order -> capped duplication ->
+    stable tile sort. Returns (sorted_key, sorted_gid, starts, counts,
+    rect_overflow, n_pairs, order)."""
     T = grid_x * grid_y
     N = means2d.shape[0]
 
@@ -105,14 +117,39 @@ def bin_gaussians(
     sorted_key, sorted_gid = jax.lax.sort(
         (key.reshape(-1), gid.reshape(-1)), num_keys=1, is_stable=True)
 
+    starts = jnp.searchsorted(sorted_key, jnp.arange(T + 1, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]                          # (T,)
+    return (sorted_key, sorted_gid, starts, counts, rect_overflow,
+            jnp.sum(ntiles), order)
+
+
+def bin_gaussians(
+    means2d: jnp.ndarray,      # (N, 2)
+    depths: jnp.ndarray,       # (N,)
+    radii: jnp.ndarray,        # (N,) int32
+    valid: jnp.ndarray,        # (N,) bool
+    img_w: int,
+    img_h: int,
+    tile: int = 16,
+    max_dup: int = 16,
+    k_max: int = 512,
+    max_active_tiles: int = 0,
+) -> TileBins:
+    grid_x = -(-img_w // tile)
+    grid_y = -(-img_h // tile)
+    T = grid_x * grid_y
+    N = means2d.shape[0]
+
+    (sorted_key, sorted_gid, starts, counts, rect_overflow, n_pairs,
+     order) = _sorted_pairs(means2d, depths, radii, valid, grid_x, grid_y,
+                            tile, max_dup)
+
     # 4. Ranges, active-tile compaction, then static-K lists for ONLY the
     # active tiles (the reference's grid covers every tile but empty tiles
     # exit renderCUDA immediately, rasterizer_impl.cu; here inactive tiles
     # must not occupy static shape — and building lists for them costs a
     # 3M-element gather, measured ~22 ms at full scale).
-    starts = jnp.searchsorted(sorted_key, jnp.arange(T + 1, dtype=jnp.int32),
-                              side="left").astype(jnp.int32)
-    counts = starts[1:] - starts[:-1]                          # (T,)
     tile_overflow = jnp.sum(jnp.maximum(counts - k_max, 0))
     counts_c = jnp.minimum(counts, k_max)
 
@@ -136,5 +173,80 @@ def bin_gaussians(
                     tile_ids=tile_ids,
                     n_overflow=(rect_overflow
                                 + tile_overflow).astype(jnp.int32),
-                    n_pairs=jnp.sum(ntiles).astype(jnp.int32),
+                    n_pairs=n_pairs.astype(jnp.int32),
                     order=order)
+
+
+def bin_gaussians_ragged(
+    means2d: jnp.ndarray,      # (N, 2)
+    depths: jnp.ndarray,       # (N,)
+    radii: jnp.ndarray,        # (N,) int32
+    valid: jnp.ndarray,        # (N,) bool
+    img_w: int,
+    img_h: int,
+    tile: int = 16,
+    max_dup: int = 16,
+    n_chunks: int = 4096,
+    kb: int = 128,
+    max_active_tiles: int = 0,
+) -> RaggedBins:
+    """Flat chunked binning (see RaggedBins). Each active tile's pair list
+    occupies ceil(count/kb) consecutive kb-wide chunks; within-tile pairs
+    are never capped. Pad slots point at gaussian id N (callers append a
+    zero sentinel row)."""
+    grid_x = -(-img_w // tile)
+    grid_y = -(-img_h // tile)
+    T = grid_x * grid_y
+    N = means2d.shape[0]
+
+    (sorted_key, sorted_gid, starts, counts, rect_overflow, n_pairs,
+     order) = _sorted_pairs(means2d, depths, radii, valid, grid_x, grid_y,
+                            tile, max_dup)
+
+    A = min(max_active_tiles or T, T)
+    if A < T:
+        counts_a, tile_ids = jax.lax.top_k(counts, A)
+        a_overflow = jnp.sum(counts) - jnp.sum(counts_a)
+        starts_a = starts[tile_ids]
+    else:
+        counts_a = counts
+        tile_ids = jnp.arange(T, dtype=jnp.int32)
+        starts_a = starts[:T]
+        a_overflow = jnp.zeros((), counts.dtype)
+
+    # chunked layout offsets (in pair slots, kb-aligned per tile)
+    padded = -(-counts_a // kb) * kb                           # (A,)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(padded).astype(jnp.int32)])  # (A+1,)
+
+    S = n_chunks * kb
+    j = jnp.arange(S, dtype=jnp.int32)
+    arow = (jnp.searchsorted(offs, j, side="right") - 1).astype(jnp.int32)
+    in_range = arow < A
+    arow_c = jnp.minimum(arow, A - 1)
+    k = j - offs[arow_c]
+    slot_valid = in_range & (k < counts_a[arow_c])
+    src = jnp.minimum(starts_a[arow_c] + k, N * max_dup - 1)
+    gid = jnp.where(slot_valid, sorted_gid[src], N).astype(jnp.int32)
+
+    c0 = j[::kb]                                               # chunk starts
+    chunk_arow = arow_c[::kb]
+    chunk_first = (offs[chunk_arow] == c0).astype(jnp.int32)
+    chunk_n = jnp.clip(counts_a[chunk_arow] - (c0 - offs[chunk_arow]),
+                       0, kb).astype(jnp.int32)
+    chunk_n = jnp.where(arow[::kb] < A, chunk_n, 0)
+    chunk_tid = tile_ids[chunk_arow].astype(jnp.int32)
+
+    # pairs in tiles (or tile tails) beyond the chunk budget
+    chunk_overflow = (jnp.sum(counts_a)
+                      - jnp.sum(slot_valid.astype(jnp.int32)))
+
+    return RaggedBins(
+        chunk_gid=gid.reshape(n_chunks, kb),
+        chunk_n=chunk_n, chunk_arow=chunk_arow, chunk_tid=chunk_tid,
+        chunk_first=chunk_first,
+        tile_ids=tile_ids, tile_count=counts_a,
+        n_overflow=(rect_overflow + a_overflow
+                    + chunk_overflow).astype(jnp.int32),
+        n_pairs=n_pairs.astype(jnp.int32),
+        order=order)

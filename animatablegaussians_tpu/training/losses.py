@@ -32,8 +32,16 @@ def mask_loss(pred_mask: jnp.ndarray, target_mask: jnp.ndarray,
 
 def offset_loss(offset: jnp.ndarray) -> jnp.ndarray:
     """Mean L2 norm of the non-rigid position offsets
-    (ref: main_avatar.py:239-241, torch.linalg.norm(offset, dim=-1).mean())."""
-    return jnp.mean(jnp.linalg.norm(offset, axis=-1))
+    (ref: main_avatar.py:239-241, torch.linalg.norm(offset, dim=-1).mean()).
+
+    Zero-safe: torch defines the norm subgradient at 0 as 0, but
+    jnp.linalg.norm's VJP there is 0/0 = NaN (hit in practice: pad points and
+    freshly-initialized heads produce exactly-zero offsets). Double-where
+    keeps the primal exact and the gradient 0 at the origin."""
+    sq = jnp.sum(offset * offset, axis=-1)
+    pos = sq > 0
+    norm = jnp.sqrt(jnp.where(pos, sq, 1.0))
+    return jnp.mean(jnp.where(pos, norm, 0.0))
 
 
 def crop_square(img: jnp.ndarray, center_xy: jnp.ndarray,

@@ -47,6 +47,25 @@ RASTER_KW = dict(k_max=256, max_dup=16, max_active_tiles=6144,
                  scatter_pad=128)
 
 
+def _zero_head_outputs(params, names=("position_net", "other_net")):
+    """Zero the ToRGB conv weights of the given heads so their outputs are
+    exactly 0 (biases are already zero at init). The benched conv FLOPs and
+    memory traffic are unchanged — only the *values* change — but the
+    Gaussian attributes collapse to exactly the ``create_from_pcd`` init
+    (KNN scales, opacity 0.1, identity rotations; ref:
+    gaussians/gaussian_model.py:156-183), the distribution the 5k-iter
+    pretrain regresses the CNN onto (ref: main_avatar.py:126-164). This is
+    the honest trained-scale splat workload; the round-2 fixture's random
+    CNN deltas in log-scale space blew radii up and overflowed the caps."""
+    import jax.numpy as jnp
+
+    for name in names:
+        for branch in ("to_rgbs1", "to_rgbs2"):
+            for p in params[name][branch]:
+                p["conv"]["weight"] = jnp.zeros_like(p["conv"]["weight"])
+    return params
+
+
 def _setup():
     from animatablegaussians_tpu.utils.jax_cache import enable_compilation_cache
     enable_compilation_cache()
@@ -56,15 +75,23 @@ def _setup():
     su.set_conv_precision("default")
 
     import __graft_entry__ as ge
+    from animatablegaussians_tpu.ops.rasterize import autosize as az
     from animatablegaussians_tpu.utils import synthetic
     net, params, _ = ge._build_avatar(
         # remat off: after the wavelet-chain fusion the full-scale step fits
         # HBM without rematerializing the decoders, and skipping the
         # recompute is worth ~3% (1.886 -> 1.944 it/s measured)
         map_h=MAP_H, img=IMG_W, raster_kw=RASTER_KW, remat=False)
+    params = _zero_head_outputs(params)
     pos, _, _ = synthetic.make_cano_map(map_h=MAP_H)
     items_np = synthetic.make_items(img_w=IMG_W, img_h=IMG_H,
                                     cano_pos_map=pos)
+    # two-pass cap sizing on the fixture (count pass -> static caps), the
+    # same path the trainer runs at init (training/driver.py:81-84)
+    cfg = az.autosize_for_avatar(net, [items_np], IMG_W, IMG_H)
+    net.raster_config = cfg
+    print(f"autosized caps: k_max={cfg.k_max} max_dup={cfg.max_dup} "
+          f"active_tiles={cfg.max_active_tiles}", file=sys.stderr)
     return net, params, items_np
 
 
@@ -102,11 +129,15 @@ def bench_train():
 
     it_s = ITERS / dt
     # binning-cap diagnostic (stderr; stdout carries only the JSON line):
-    # (gaussian, tile) pairs dropped by static caps this step. Nonzero on
-    # the UNTRAINED synthetic net (random exp-scales blow up some radii);
-    # must be ~0 on trained models — training logs it per step.
-    print(f"n_overflow={int(terms['n_overflow'])} "
-          f"(of {net.n_points} gaussians)", file=sys.stderr)
+    # (gaussian, tile) pairs dropped by the static caps this step. With the
+    # create_from_pcd fixture + two-pass autosized caps this must be 0 —
+    # never-drop parity with the CUDA reference's dynamic buffer sizing
+    # (ref: cuda_rasterizer/rasterizer_impl.cu:278-309).
+    n_overflow = int(terms["n_overflow"])
+    print(f"n_overflow={n_overflow} (of {net.n_points} gaussians, "
+          f"n_pairs={int(terms.get('n_pairs', -1))})", file=sys.stderr)
+    assert n_overflow == 0, (
+        f"binning caps dropped {n_overflow} pairs — autosizing failed")
     print(json.dumps({
         "metric": "avatar_train_step",
         "value": round(it_s, 3),

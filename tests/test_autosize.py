@@ -39,7 +39,8 @@ def brute_force_stats(means, scales, q, extr, intr):
         counts[ry0[i]:ry1[i], rx0[i]:rx1[i]] += 1
         ntiles[i] = (ry1[i] - ry0[i]) * (rx1[i] - rx0[i])
     return BinningStats(int(ntiles.max()), int(counts.max()),
-                        int((counts > 0).sum()), int(ntiles.sum()))
+                        int((counts > 0).sum()), int(ntiles.sum()),
+                        int(-(-counts // 128).sum()))
 
 
 def test_measured_stats_match_brute_force():
@@ -83,9 +84,9 @@ def test_picked_caps_give_zero_overflow():
 
 
 def test_merge_stats_elementwise_max():
-    a = BinningStats(3, 10, 7, 100)
-    b = BinningStats(5, 8, 9, 90)
-    assert merge_stats([a, b]) == BinningStats(5, 10, 9, 100)
+    a = BinningStats(3, 10, 7, 100, 12)
+    b = BinningStats(5, 8, 9, 90, 15)
+    assert merge_stats([a, b]) == BinningStats(5, 10, 9, 100, 15)
 
 
 def test_undersized_caps_would_overflow():

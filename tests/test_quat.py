@@ -66,3 +66,20 @@ def test_quat_mul_and_rotate():
     v = np.random.default_rng(6).standard_normal((16, 3))
     rv = np.asarray(quat.rotate_vec(jnp.asarray(qa), jnp.asarray(v)))
     np.testing.assert_allclose(rv, ra.apply(v), atol=1e-5)
+
+
+def test_normalize_zero_quat_finite_grad():
+    """normalize(0) must be 0 with a zero (not NaN) gradient — pad rows and
+    degenerate rotation sums hit this exactly (regression: NaN at bench
+    step 0 via sel + g.rotation)."""
+    import jax
+
+    z = jnp.zeros((3, 4))
+    out = np.asarray(quat.normalize(z))
+    np.testing.assert_allclose(out, 0.0)
+    g = jax.grad(lambda q: jnp.sum(quat.normalize(q) ** 2))(z)
+    assert bool(jnp.isfinite(g).all())
+    # nonzero quats: still an exact unit normalize
+    q = jnp.asarray(random_quats(8, 3)) * 2.0
+    n = np.asarray(quat.normalize(q))
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-6)

@@ -148,6 +148,75 @@ def test_pallas_grads_match_ref_autodiff():
                                    rtol=1e-3, atol=1e-4, err_msg=name)
 
 
+def test_ragged_matches_ref_backend():
+    """Chunked (ragged) pallas path vs the rectangle ref blend: same image,
+    same true pair count, zero overflow. Scene is dense enough that tiles
+    span multiple 128-pair chunks, exercising the cross-chunk carry."""
+    means, scales, q, opac, colors, extr, intr = make_scene(n=400, seed=7)
+    bg = np.array([0.2, 0.0, 0.4], np.float32)
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(q),
+            jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(bg),
+            jnp.asarray(extr), jnp.asarray(intr))
+    cfg_ref = RasterizeConfig(backend="ref", k_max=512, max_dup=16)
+    cfg_rag = RasterizeConfig(backend="pallas", max_dup=16, n_chunks=64)
+    out_ref = render(*args, W, H, config=cfg_ref)
+    out_rag = render(*args, W, H, config=cfg_rag)
+    assert int(out_rag["n_overflow"]) == 0
+    assert int(out_rag["n_pairs"]) == int(out_ref["n_pairs"])
+    # the scene must actually exercise a multi-chunk tile
+    from animatablegaussians_tpu.ops.rasterize.binning import \
+        bin_gaussians_ragged
+    from animatablegaussians_tpu.ops.rasterize.preprocess import preprocess
+    pre = preprocess(args[0], args[1], args[2],
+                     *_full_projection_traced(args[6], args[7], W, H),
+                     W / (2 * intr[0, 0]), H / (2 * intr[1, 1]), W, H)
+    bins = bin_gaussians_ragged(pre.means2d, pre.depths, pre.radii,
+                                pre.valid, W, H, max_dup=16, n_chunks=64)
+    assert int(bins.tile_count.max()) > 128
+    for k in ["render", "depth", "mask"]:
+        np.testing.assert_allclose(np.asarray(out_rag[k]),
+                                   np.asarray(out_ref[k]), atol=1e-5,
+                                   err_msg=k)
+
+
+def test_ragged_grads_match_ref_autodiff():
+    loss_ref, args = _loss_fn("ref")
+
+    def loss_rag(means_, scales_, q_, opac_, colors_):
+        _, _, _, _, _, extr, intr = make_scene(n=25, seed=5)
+        bg = np.array([0.3, 0.1, 0.0], np.float32)
+        cfg = RasterizeConfig(backend="pallas", n_chunks=32)
+        tgt = np.linspace(0, 1, H * W * 3).reshape(H, W, 3).astype(
+            np.float32)
+        out = render(means_, scales_, q_, opac_, colors_, jnp.asarray(bg),
+                     jnp.asarray(extr), jnp.asarray(intr), W, H, config=cfg)
+        return (jnp.sum((out["render"] - tgt) ** 2)
+                + jnp.sum(out["depth"] * 0.01)
+                + jnp.sum(out["mask"] * 0.02))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    g_rag = jax.grad(loss_rag, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b, name in zip(g_ref, g_rag,
+                          ["means", "scales", "quats", "opac", "colors"]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4, err_msg=name)
+
+
+def test_ragged_chunk_budget_overflow_counted():
+    means, scales, q, opac, colors, extr, intr = make_scene(n=400, seed=7)
+    bg = np.zeros(3, np.float32)
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(q),
+            jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(bg),
+            jnp.asarray(extr), jnp.asarray(intr))
+    out_small = render(*args, W, H, config=RasterizeConfig(
+        backend="pallas", max_dup=16, n_chunks=4))
+    out_big = render(*args, W, H, config=RasterizeConfig(
+        backend="pallas", max_dup=16, n_chunks=64))
+    assert int(out_small["n_overflow"]) > 0
+    assert int(out_big["n_overflow"]) == 0
+    assert int(out_small["n_pairs"]) == int(out_big["n_pairs"])
+
+
 def test_grads_match_finite_differences():
     loss, args = _loss_fn("ref")
     g = jax.grad(loss, argnums=3)(*args)  # opacity grad

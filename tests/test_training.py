@@ -55,6 +55,23 @@ def test_offset_loss_is_norm_mean():
     assert np.isclose(float(offset_loss(off)), 2.5)
 
 
+def test_offset_loss_zero_offset_has_zero_grad():
+    """torch.linalg.norm's subgradient at 0 is 0; a naive jnp norm gives
+    NaN there — and freshly initialized heads produce exactly-zero offsets
+    (regression: NaN poisoned every param at bench step 0)."""
+    from animatablegaussians_tpu.training.losses import offset_loss
+    off = jnp.zeros((5, 3))
+    g = jax.grad(lambda o: offset_loss(o))(off)
+    assert bool(jnp.isfinite(g).all())
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+    # mixed zero/nonzero rows: nonzero rows keep the exact norm gradient
+    off2 = jnp.array([[3.0, 4.0, 0.0], [0.0, 0.0, 0.0]])
+    g2 = jax.grad(lambda o: offset_loss(o))(off2)
+    assert bool(jnp.isfinite(g2).all())
+    np.testing.assert_allclose(np.asarray(g2[0]), [0.3, 0.4, 0.0],
+                               atol=1e-6)
+
+
 def test_lpips_shapes_and_zero_self_distance():
     from animatablegaussians_tpu.training import lpips as lp
     params = lp.init_random(jax.random.PRNGKey(0))
