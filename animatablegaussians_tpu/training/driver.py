@@ -81,7 +81,8 @@ class AvatarTrainer:
         if opt.get("model", {}).get("autosize_raster", True):
             self._autosize_raster(
                 margin=float(opt.get("model", {}).get(
-                    "autosize_margin", 1.5)))
+                    "autosize_margin", 1.5)),
+                ragged=opt.get("model", {}).get("raster_ragged", None))
 
         self.optimizer = at.make_optimizer(
             self.lr_init, self.ITER_NUM, finetune_color=self.finetune_color)
@@ -142,9 +143,12 @@ class AvatarTrainer:
                              "cano_smpl_nml_map.exr"))
         return AvatarNet(model_opt, cano_map, lbs, cano_nml_map=nml)
 
-    def _autosize_raster(self, n_sample: int = 4, margin: float = 1.5):
+    def _autosize_raster(self, n_sample: int = 4, margin: float = 1.5,
+                         ragged: bool | None = None):
         """Count-only pass over sample frames -> static caps (see
-        ops/rasterize/autosize.py). Uses the net's actual init scales."""
+        ops/rasterize/autosize.py). Uses the net's actual init scales.
+        ``ragged`` (config key model.raster_ragged) switches to the flat
+        chunked layout with no per-tile cap (binning.RaggedBins)."""
         from animatablegaussians_tpu.ops.rasterize import autosize as az
         n = len(self.dataset)
         idxs = sorted({int(i)
@@ -154,13 +158,13 @@ class AvatarTrainer:
         cfg = az.autosize_for_avatar(
             self.avatar_net, items, self.img_w, self.img_h,
             scales=jnp.exp(self.params["cano_gaussian"].scaling),
-            margin=margin)
+            margin=margin, ragged=ragged)
         old = self.avatar_net.raster_config
         self.avatar_net.raster_config = cfg
         print(f"# Auto-sized raster caps: max_dup {old.max_dup}->"
               f"{cfg.max_dup}, k_max {old.k_max}->{cfg.k_max}, "
               f"max_active_tiles {old.max_active_tiles}->"
-              f"{cfg.max_active_tiles}")
+              f"{cfg.max_active_tiles}, n_chunks {cfg.n_chunks}")
 
     # ------------------------------------------------------------------
     def _items_to_device(self, item: dict) -> dict:

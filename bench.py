@@ -87,11 +87,14 @@ def _setup():
     items_np = synthetic.make_items(img_w=IMG_W, img_h=IMG_H,
                                     cano_pos_map=pos)
     # two-pass cap sizing on the fixture (count pass -> static caps), the
-    # same path the trainer runs at init (training/driver.py:81-84)
-    cfg = az.autosize_for_avatar(net, [items_np], IMG_W, IMG_H)
+    # same path the trainer runs at init (training/driver.py:81-84).
+    # --ragged switches to the flat chunked layout (no per-tile cap).
+    cfg = az.autosize_for_avatar(net, [items_np], IMG_W, IMG_H,
+                                 ragged="--ragged" in sys.argv)
     net.raster_config = cfg
     print(f"autosized caps: k_max={cfg.k_max} max_dup={cfg.max_dup} "
-          f"active_tiles={cfg.max_active_tiles}", file=sys.stderr)
+          f"active_tiles={cfg.max_active_tiles} n_chunks={cfg.n_chunks}",
+          file=sys.stderr)
     return net, params, items_np
 
 
