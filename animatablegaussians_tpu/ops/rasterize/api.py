@@ -42,12 +42,21 @@ class RasterizeConfig:
     # lane width of the backward scatter rows (>=16; 128 = fastest on v5e)
     scatter_pad: int = 128
     # ragged mode: >0 switches binning/blending to the flat chunked layout
-    # (see binning.RaggedBins) with this many 128-pair chunks. Removes the
-    # per-tile k_max cap entirely (never-drop within tiles, like the CUDA
-    # flat pair list) and shrinks gather/scatter volume from A*k_max slots
-    # to the padded true pair count. Requires the pallas backend (or
+    # (see binning.RaggedBins) with this many chunk_kb-pair chunks. Removes
+    # the per-tile k_max cap entirely (never-drop within tiles, like the
+    # CUDA flat pair list) and shrinks gather/scatter volume from A*k_max
+    # slots to the padded true pair count. Requires the pallas backend (or
     # interpret mode off-TPU); k_max is ignored.
     n_chunks: int = 0
+    # pairs per chunk (multiple of 128). Wider chunks = fewer kernel grid
+    # iterations but more per-tile padding; 256 balances both at the
+    # measured bench-scale count distribution.
+    chunk_kb: int = 128
+    # static budget for the compact pair expansion+sort (binning.
+    # _expand_pairs); 0 = legacy N*max_dup capacity. Autosize sets ~1.5x
+    # the measured true pair count — the sort/gather volume scales with
+    # this, not with N*max_dup.
+    max_pairs: int = 0
     # "auto": Pallas kernel on TPU, pure-XLA reference blend elsewhere
     # (interpret-mode pallas emulation is pathologically slow to compile
     # on CPU); "pallas" | "ref" force a backend.
@@ -176,8 +185,9 @@ def render(
         bins = bin_gaussians_ragged(
             pre.means2d, pre.depths, pre.radii, pre.valid, img_w, img_h,
             tile=config.tile, max_dup=config.max_dup,
-            n_chunks=config.n_chunks,
-            max_active_tiles=config.max_active_tiles)
+            n_chunks=config.n_chunks, kb=config.chunk_kb,
+            max_active_tiles=config.max_active_tiles,
+            max_pairs=config.max_pairs)
         n_overflow = bins.n_overflow
         counts_a, tile_ids = bins.tile_count, bins.tile_ids
         # sentinel zero row at index N receives pad-slot gathers (and their
@@ -200,7 +210,8 @@ def render(
         bins = bin_gaussians(pre.means2d, pre.depths, pre.radii, pre.valid,
                              img_w, img_h, tile=config.tile,
                              max_dup=config.max_dup, k_max=config.k_max,
-                             max_active_tiles=config.max_active_tiles)
+                             max_active_tiles=config.max_active_tiles,
+                             max_pairs=config.max_pairs)
         n_overflow = bins.n_overflow
         counts_a, tile_ids, tile_gid = (bins.tile_count, bins.tile_ids,
                                         bins.tile_gid)

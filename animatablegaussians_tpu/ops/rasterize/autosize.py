@@ -124,11 +124,24 @@ def pick_caps(stats: BinningStats, margin: float = 1.5,
     a = round_up(int(stats.n_active_tiles * margin), 256)
     if ragged is None:
         ragged = base.n_chunks > 0
-    n_chunks = round_up(int(stats.n_chunks * margin), 64) if ragged else 0
+    kb = base.chunk_kb
+    if ragged:
+        # chunks(kb) <= ceil(n_pairs/kb) + n_active_tiles (each tile wastes
+        # under one chunk of padding); exact for kb=128 from the count pass
+        bound = -(-stats.n_pairs // kb) + stats.n_active_tiles
+        if kb == 128:
+            bound = min(bound, stats.n_chunks)
+        n_chunks = round_up(int(bound * margin), 64)
+    else:
+        n_chunks = 0
+    # compact pair-expansion budget: the sort/gather volume scales with
+    # this (not with N*max_dup), so size it tightly over the measured count
+    max_pairs = round_up(int(stats.n_pairs * margin), 4096)
     return RasterizeConfig(
         tile=base.tile, max_dup=max(md, 8), k_max=k_max,
         max_active_tiles=a, scatter_pad=base.scatter_pad,
-        n_chunks=n_chunks, backend=base.backend)
+        n_chunks=n_chunks, chunk_kb=kb, max_pairs=max_pairs,
+        backend=base.backend)
 
 
 def autosize_for_avatar(avatar_net, items_list, img_w: int, img_h: int,

@@ -69,13 +69,40 @@ def tile_rect(means2d, radii, grid_x: int, grid_y: int, tile: int):
     return rx0, ry0, rx1, ry1
 
 
-def _sorted_pairs(means2d, depths, radii, valid, grid_x: int, grid_y: int,
-                  tile: int, max_dup: int):
-    """Shared pipeline steps 1-3: depth order -> capped duplication ->
-    stable tile sort. Returns (sorted_key, sorted_gid, starts, counts,
-    rect_overflow, n_pairs, order)."""
+def _segment_owner(offsets, n_seg: int, n_slots: int):
+    """Owner segment of each flat slot: ``owner[s] = i`` iff
+    ``offsets[i] <= s < offsets[i+1]`` (segments with zero length never own).
+
+    scatter-max of the segment index at each segment start + a cummax —
+    O(S) elementwise. The naive ``searchsorted(offsets, s)`` lowers to a
+    log2(n_seg)-step gather loop over all S slots (measured ~216 ms at
+    S=2.1M/log=12 in the round-3 ragged bench; this is ~8 ms)."""
+    length = offsets[1:] - offsets[:-1]                        # (n_seg,)
+    start = offsets[:n_seg]
+    tgt = jnp.where((length > 0) & (start < n_slots), start, n_slots)
+    head = jnp.zeros((n_slots,), jnp.int32).at[tgt].max(
+        jnp.arange(1, n_seg + 1, dtype=jnp.int32), mode="drop")
+    return jax.lax.cummax(head) - 1           # (S,), -1 before first start
+
+
+def _expand_pairs(means2d, depths, radii, valid, grid_x: int, grid_y: int,
+                  tile: int, max_dup: int, max_pairs: int):
+    """Pipeline steps 1-3: depth order -> compact pair expansion -> stable
+    tile sort over ONLY ``max_pairs`` slots. Returns (sorted_key,
+    sorted_gid, starts, counts, build_overflow, n_pairs, order).
+
+    The round-2 layout materialized (N, max_dup) duplication arrays and
+    sorted N*max_dup entries (17M at bench scale, 173 ms) although only
+    ~1M pairs were real. Here each depth-ordered Gaussian's pairs are laid
+    out contiguously via an exclusive cumsum of its tile count, slots find
+    their owner with _segment_owner, and the sort covers max_pairs slots
+    (autosize sizes it at ~1.5x the true pair count). Expansion is in
+    depth order, so a budget overrun drops the FARTHEST Gaussians' pairs
+    (counted in the overflow). Pair-list semantics match the CUDA flat
+    duplication + radix sort (ref: rasterizer_impl.cu:278-309)."""
     T = grid_x * grid_y
     N = means2d.shape[0]
+    S = max_pairs
 
     # Binning is pure integer bookkeeping — no gradients flow through it
     # (the reference's binning is CUDA bookkeeping too). Without this, the
@@ -98,30 +125,46 @@ def _sorted_pairs(means2d, depths, radii, valid, grid_x: int, grid_y: int,
     v = packed[:, 3] > 0.5
     rx0, ry0, rx1, ry1 = tile_rect(xy, r, grid_x, grid_y, tile)
     width = rx1 - rx0
-    height = ry1 - ry0
-    ntiles = width * height
+    ntiles = width * (ry1 - ry0)
     ntiles = jnp.where(v, ntiles, 0)
     rect_overflow = jnp.sum(jnp.maximum(ntiles - max_dup, 0))
+    ntiles_c = jnp.minimum(ntiles, max_dup)
 
-    # 2. Static duplication.
-    d = jnp.arange(max_dup, dtype=jnp.int32)[None, :]          # (1, D)
-    w_safe = jnp.maximum(width, 1)[:, None]
-    dy = d // w_safe
-    dx = d - dy * w_safe
-    tile_id = (ry0[:, None] + dy) * grid_x + (rx0[:, None] + dx)
-    dup_valid = v[:, None] & (d < ntiles[:, None])
-    key = jnp.where(dup_valid, tile_id, T).astype(jnp.int32)   # sentinel T
-    gid = jnp.broadcast_to(order[:, None], key.shape)
+    # 2. Compact expansion: gaussian i owns slots [offs[i], offs[i+1]).
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(ntiles_c).astype(jnp.int32)])
+    total = offs[N]
+    s_idx = jnp.arange(S, dtype=jnp.int32)
+    g = _segment_owner(offs, N, S)                             # (S,)
+    g_c = jnp.clip(g, 0, N - 1)
+    slot_valid = s_idx < total
+    # one packed int32 row gather for the per-slot fields (offs values can
+    # exceed 2^24, so no f32 packing)
+    pk = jnp.stack([rx0, ry0, jnp.maximum(width, 1), offs[:N], order],
+                   axis=1)                                     # (N, 5) i32
+    pkg = pk[g_c]                                              # (S, 5)
+    j = s_idx - pkg[:, 3]
+    w_g = pkg[:, 2]
+    ty = pkg[:, 1] + j // w_g
+    tx = pkg[:, 0] + j % w_g
+    key = jnp.where(slot_valid, ty * grid_x + tx, T).astype(jnp.int32)
+    gid = jnp.where(slot_valid, pkg[:, 4], N).astype(jnp.int32)
 
     # 3. Stable tile sort (preserves depth order within tiles).
     sorted_key, sorted_gid = jax.lax.sort(
-        (key.reshape(-1), gid.reshape(-1)), num_keys=1, is_stable=True)
+        (key, gid), num_keys=1, is_stable=True)
 
     starts = jnp.searchsorted(sorted_key, jnp.arange(T + 1, dtype=jnp.int32),
                               side="left").astype(jnp.int32)
     counts = starts[1:] - starts[:-1]                          # (T,)
-    return (sorted_key, sorted_gid, starts, counts, rect_overflow,
-            jnp.sum(ntiles), order)
+    pair_overflow = jnp.maximum(total - S, 0)
+    return (sorted_key, sorted_gid, starts, counts,
+            rect_overflow + pair_overflow, jnp.sum(ntiles), order)
+
+
+def _resolve_max_pairs(max_pairs: int, n: int, max_dup: int) -> int:
+    """0 = legacy capacity (N * max_dup); autosize passes an exact budget."""
+    return max_pairs if max_pairs > 0 else n * max_dup
 
 
 def bin_gaussians(
@@ -135,15 +178,17 @@ def bin_gaussians(
     max_dup: int = 16,
     k_max: int = 512,
     max_active_tiles: int = 0,
+    max_pairs: int = 0,
 ) -> TileBins:
     grid_x = -(-img_w // tile)
     grid_y = -(-img_h // tile)
     T = grid_x * grid_y
     N = means2d.shape[0]
+    S = _resolve_max_pairs(max_pairs, N, max_dup)
 
-    (sorted_key, sorted_gid, starts, counts, rect_overflow, n_pairs,
-     order) = _sorted_pairs(means2d, depths, radii, valid, grid_x, grid_y,
-                            tile, max_dup)
+    (sorted_key, sorted_gid, starts, counts, build_overflow, n_pairs,
+     order) = _expand_pairs(means2d, depths, radii, valid, grid_x, grid_y,
+                            tile, max_dup, S)
 
     # 4. Ranges, active-tile compaction, then static-K lists for ONLY the
     # active tiles (the reference's grid covers every tile but empty tiles
@@ -166,12 +211,12 @@ def bin_gaussians(
         starts_a = starts[:T]
 
     idx = starts_a[:, None] + jnp.arange(k_max, dtype=jnp.int32)[None, :]
-    idx = jnp.minimum(idx, N * max_dup - 1)
+    idx = jnp.minimum(idx, S - 1)
     tile_gid = sorted_gid[idx]                                  # (A, K)
 
     return TileBins(tile_gid=tile_gid, tile_count=counts_a,
                     tile_ids=tile_ids,
-                    n_overflow=(rect_overflow
+                    n_overflow=(build_overflow
                                 + tile_overflow).astype(jnp.int32),
                     n_pairs=n_pairs.astype(jnp.int32),
                     order=order)
@@ -189,6 +234,7 @@ def bin_gaussians_ragged(
     n_chunks: int = 4096,
     kb: int = 128,
     max_active_tiles: int = 0,
+    max_pairs: int = 0,
 ) -> RaggedBins:
     """Flat chunked binning (see RaggedBins). Each active tile's pair list
     occupies ceil(count/kb) consecutive kb-wide chunks; within-tile pairs
@@ -198,10 +244,11 @@ def bin_gaussians_ragged(
     grid_y = -(-img_h // tile)
     T = grid_x * grid_y
     N = means2d.shape[0]
+    S_pairs = _resolve_max_pairs(max_pairs, N, max_dup)
 
-    (sorted_key, sorted_gid, starts, counts, rect_overflow, n_pairs,
-     order) = _sorted_pairs(means2d, depths, radii, valid, grid_x, grid_y,
-                            tile, max_dup)
+    (sorted_key, sorted_gid, starts, counts, build_overflow, n_pairs,
+     order) = _expand_pairs(means2d, depths, radii, valid, grid_x, grid_y,
+                            tile, max_dup, S_pairs)
 
     A = min(max_active_tiles or T, T)
     if A < T:
@@ -221,21 +268,24 @@ def bin_gaussians_ragged(
 
     S = n_chunks * kb
     j = jnp.arange(S, dtype=jnp.int32)
-    arow = (jnp.searchsorted(offs, j, side="right") - 1).astype(jnp.int32)
-    in_range = arow < A
-    arow_c = jnp.minimum(arow, A - 1)
-    k = j - offs[arow_c]
-    slot_valid = in_range & (k < counts_a[arow_c])
-    src = jnp.minimum(starts_a[arow_c] + k, N * max_dup - 1)
+    arow = _segment_owner(offs, A, S)                          # (S,)
+    in_range = (arow >= 0) & (j < offs[A])
+    arow_c = jnp.clip(arow, 0, A - 1)
+    # one packed int32 gather for the per-slot tile fields
+    pk = jnp.stack([offs[:A], starts_a, counts_a, tile_ids], axis=1)
+    pkg = pk[arow_c]                                           # (S, 4)
+    k = j - pkg[:, 0]
+    slot_valid = in_range & (k < pkg[:, 2])
+    src = jnp.minimum(pkg[:, 1] + k, S_pairs - 1)
     gid = jnp.where(slot_valid, sorted_gid[src], N).astype(jnp.int32)
 
     c0 = j[::kb]                                               # chunk starts
+    pkc = pkg[::kb]
     chunk_arow = arow_c[::kb]
-    chunk_first = (offs[chunk_arow] == c0).astype(jnp.int32)
-    chunk_n = jnp.clip(counts_a[chunk_arow] - (c0 - offs[chunk_arow]),
-                       0, kb).astype(jnp.int32)
-    chunk_n = jnp.where(arow[::kb] < A, chunk_n, 0)
-    chunk_tid = tile_ids[chunk_arow].astype(jnp.int32)
+    chunk_first = ((pkc[:, 0] == c0) & in_range[::kb]).astype(jnp.int32)
+    chunk_n = jnp.clip(pkc[:, 2] - (c0 - pkc[:, 0]), 0, kb).astype(jnp.int32)
+    chunk_n = jnp.where(in_range[::kb], chunk_n, 0)
+    chunk_tid = pkc[:, 3].astype(jnp.int32)
 
     # pairs in tiles (or tile tails) beyond the chunk budget
     chunk_overflow = (jnp.sum(counts_a)
@@ -246,7 +296,7 @@ def bin_gaussians_ragged(
         chunk_n=chunk_n, chunk_arow=chunk_arow, chunk_tid=chunk_tid,
         chunk_first=chunk_first,
         tile_ids=tile_ids, tile_count=counts_a,
-        n_overflow=(rect_overflow + a_overflow
+        n_overflow=(build_overflow + a_overflow
                     + chunk_overflow).astype(jnp.int32),
         n_pairs=n_pairs.astype(jnp.int32),
         order=order)

@@ -269,47 +269,50 @@ def _bwd_pallas(tile_data, tile_count, tile_ids, out, cot, grid_x: int,
 
 
 # ---------------------------------------------------------------------------
-# Ragged (chunked) kernels: grid = 128-pair chunks, blend state carried
-# across consecutive chunks of the same tile via output-block revisiting
-# (same accumulate-on-first-iteration pattern as a matmul K loop). This
-# removes the per-tile k_max cap entirely — within-tile pairs are never
-# dropped, matching the CUDA flat pair list (ref: rasterizer_impl.cu:
-# 278-309) — and shrinks the gather/scatter volume from A*K_max slots to
-# the kb-padded true pair count.
+# Ragged (chunked) kernels: grid = kb-pair chunks (kb = m*128), blend state
+# carried across consecutive chunks of the same tile via output-block
+# revisiting (same accumulate-on-first-iteration pattern as a matmul K
+# loop). This removes the per-tile k_max cap entirely — within-tile pairs
+# are never dropped, matching the CUDA flat pair list (ref:
+# rasterizer_impl.cu:278-309) — and shrinks the gather/scatter volume from
+# A*K_max slots to the kb-padded true pair count.
 # ---------------------------------------------------------------------------
 
 
 def _fwd_chunk_kernel(n_ref, tid_ref, first_ref, arow_ref, data_ref,
-                      out_ref, *, grid_x, tile):
+                      out_ref, *, grid_x, tile, nblocks):
     P = tile * tile
     c = pl.program_id(0)
     pxx, pxy = _pixel_coords(tid_ref[c], grid_x, tile, P)
+    count = n_ref[c]
 
     @pl.when(first_ref[c] == 1)
     def _():
         out_ref[0] = jnp.zeros((P, 8), jnp.float32)
         out_ref[0, :, 4] = jnp.ones((P,), jnp.float32)
 
-    @pl.when((n_ref[c] > 0) & (jnp.max(out_ref[0, :, 4]) >= T_EPS))
-    def _():
-        geo = _block_geometry(data_ref, 0, n_ref[c], pxx, pxy)
-        t_carry = out_ref[0, :, 4:5]
-        pinc, pexc, contrib = _transmittance(geo["alpha"], t_carry)
-        w = jnp.where(contrib, geo["alpha"] * pexc, 0.0)
+    for kb in range(nblocks):
+        @pl.when((kb * KB < count) &
+                 (jnp.max(out_ref[0, :, 4]) >= T_EPS))
+        def _():
+            geo = _block_geometry(data_ref, kb, count, pxx, pxy)
+            t_carry = out_ref[0, :, 4:5]
+            pinc, pexc, contrib = _transmittance(geo["alpha"], t_carry)
+            w = jnp.where(contrib, geo["alpha"] * pexc, 0.0)
 
-        ksum = lambda m: jnp.sum(m, axis=1, keepdims=True)   # (P, 1)
-        out_ref[0, :, 0:1] += ksum(w * geo["r"])
-        out_ref[0, :, 1:2] += ksum(w * geo["g"])
-        out_ref[0, :, 2:3] += ksum(w * geo["b"])
-        out_ref[0, :, 3:4] += ksum(w * geo["d"])
-        out_ref[0, :, 4] = jnp.min(jnp.where(contrib, pinc, t_carry),
-                                   axis=1)
+            ksum = lambda m: jnp.sum(m, axis=1, keepdims=True)   # (P, 1)
+            out_ref[0, :, 0:1] += ksum(w * geo["r"])
+            out_ref[0, :, 1:2] += ksum(w * geo["g"])
+            out_ref[0, :, 2:3] += ksum(w * geo["b"])
+            out_ref[0, :, 3:4] += ksum(w * geo["d"])
+            out_ref[0, :, 4] = jnp.min(jnp.where(contrib, pinc, t_carry),
+                                       axis=1)
 
 
 def _fwd_chunks_pallas(chunk_data, chunk_n, chunk_tid, chunk_first,
                        chunk_arow, n_rows: int, grid_x: int, tile: int):
     C, _, K = chunk_data.shape
-    assert K == KB, f"chunk width must be {KB}"
+    assert K % KB == 0, f"chunk width must be a multiple of {KB}"
     P = tile * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -322,7 +325,8 @@ def _fwd_chunks_pallas(chunk_data, chunk_n, chunk_tid, chunk_first,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        partial(_fwd_chunk_kernel, grid_x=grid_x, tile=tile),
+        partial(_fwd_chunk_kernel, grid_x=grid_x, tile=tile,
+                nblocks=K // KB),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, P, 8), jnp.float32),
         interpret=_interpret(),
@@ -333,7 +337,7 @@ def _fwd_chunks_pallas(chunk_data, chunk_n, chunk_tid, chunk_first,
 
 def _bwd_chunk_kernel(n_ref, tid_ref, first_ref, arow_ref, data_ref,
                       res_ref, cot_ref, grad_ref, carry_ref, *, grid_x,
-                      tile):
+                      tile, nblocks):
     P = tile * tile
     c = pl.program_id(0)
     pxx, pxy = _pixel_coords(tid_ref[c], grid_x, tile, P)
@@ -351,59 +355,63 @@ def _bwd_chunk_kernel(n_ref, tid_ref, first_ref, arow_ref, data_ref,
     gout = [col(cot_ref, i) for i in range(4)]       # gr gg gb gd
     gT = col(cot_ref, 4)
 
-    @pl.when((n_ref[c] > 0) & (jnp.max(carry_ref[:, 0]) >= T_EPS))
-    def _():
-        geo = _block_geometry(data_ref, 0, n_ref[c], pxx, pxy)
-        alpha = geo["alpha"]
-        t_carry = carry_ref[:, 0:1]
-        pinc, pexc, contrib = _transmittance(alpha, t_carry)
-        w = jnp.where(contrib, alpha * pexc, 0.0)
-        one_minus = 1.0 - alpha
+    count = n_ref[c]
+    for kb in range(nblocks):
+        @pl.when((kb * KB < count) & (jnp.max(carry_ref[:, 0]) >= T_EPS))
+        def _():
+            geo = _block_geometry(data_ref, kb, count, pxx, pxy)
+            alpha = geo["alpha"]
+            t_carry = carry_ref[:, 0:1]
+            pinc, pexc, contrib = _transmittance(alpha, t_carry)
+            w = jnp.where(contrib, alpha * pexc, 0.0)
+            one_minus = 1.0 - alpha
 
-        chans = [geo["r"], geo["g"], geo["b"], geo["d"]]
-        direct = jnp.zeros_like(alpha)
-        suffix_dot = jnp.zeros_like(alpha)
-        new_prefix = []
-        for i, ck in enumerate(chans):
-            wc = w * ck
-            pr = carry_ref[:, 1 + i:2 + i] + _cumsum_lanes(wc)
-            suffix = ctot[i] - pr                 # sum over j > k
-            direct += ck * gout[i]
-            suffix_dot += suffix * gout[i]
-            new_prefix.append(pr[:, KB - 1])
+            chans = [geo["r"], geo["g"], geo["b"], geo["d"]]
+            direct = jnp.zeros_like(alpha)
+            suffix_dot = jnp.zeros_like(alpha)
+            new_prefix = []
+            for i, ck in enumerate(chans):
+                wc = w * ck
+                pr = carry_ref[:, 1 + i:2 + i] + _cumsum_lanes(wc)
+                suffix = ctot[i] - pr                 # sum over j > k
+                direct += ck * gout[i]
+                suffix_dot += suffix * gout[i]
+                new_prefix.append(pr[:, KB - 1])
 
-        galpha = (pexc * direct
-                  - suffix_dot / one_minus
-                  - gT * tfin / one_minus)
-        galpha = jnp.where(contrib, galpha, 0.0)
-        galpha = jnp.where(geo["alpha_raw"] >= ALPHA_CLAMP, 0.0, galpha)
+            galpha = (pexc * direct
+                      - suffix_dot / one_minus
+                      - gT * tfin / one_minus)
+            galpha = jnp.where(contrib, galpha, 0.0)
+            galpha = jnp.where(geo["alpha_raw"] >= ALPHA_CLAMP, 0.0, galpha)
 
-        gop_mat = galpha * geo["G"]
-        gpower = galpha * geo["op"] * geo["G"]
-        gdx = -gpower * (geo["ca"] * geo["dx"] + geo["cb"] * geo["dy"])
-        gdy = -gpower * (geo["cc"] * geo["dy"] + geo["cb"] * geo["dx"])
+            gop_mat = galpha * geo["G"]
+            gpower = galpha * geo["op"] * geo["G"]
+            gdx = -gpower * (geo["ca"] * geo["dx"] + geo["cb"] * geo["dy"])
+            gdy = -gpower * (geo["cc"] * geo["dy"] + geo["cb"] * geo["dx"])
 
-        psum = lambda m: jnp.sum(m, axis=0)       # (KB,)
-        grad_ref[0, 0, :] = psum(gdx)
-        grad_ref[0, 1, :] = psum(gdy)
-        grad_ref[0, 2, :] = psum(-0.5 * geo["dx"] * geo["dx"] * gpower)
-        grad_ref[0, 3, :] = psum(-geo["dx"] * geo["dy"] * gpower)
-        grad_ref[0, 4, :] = psum(-0.5 * geo["dy"] * geo["dy"] * gpower)
-        grad_ref[0, 5, :] = psum(gop_mat)
-        grad_ref[0, 6, :] = psum(w * gout[0])
-        grad_ref[0, 7, :] = psum(w * gout[1])
-        grad_ref[0, 8, :] = psum(w * gout[2])
-        grad_ref[0, 9, :] = psum(w * gout[3])
+            sl = slice(kb * KB, (kb + 1) * KB)
+            psum = lambda m: jnp.sum(m, axis=0)       # (KB,)
+            grad_ref[0, 0, sl] = psum(gdx)
+            grad_ref[0, 1, sl] = psum(gdy)
+            grad_ref[0, 2, sl] = psum(-0.5 * geo["dx"] * geo["dx"] * gpower)
+            grad_ref[0, 3, sl] = psum(-geo["dx"] * geo["dy"] * gpower)
+            grad_ref[0, 4, sl] = psum(-0.5 * geo["dy"] * geo["dy"] * gpower)
+            grad_ref[0, 5, sl] = psum(gop_mat)
+            grad_ref[0, 6, sl] = psum(w * gout[0])
+            grad_ref[0, 7, sl] = psum(w * gout[1])
+            grad_ref[0, 8, sl] = psum(w * gout[2])
+            grad_ref[0, 9, sl] = psum(w * gout[3])
 
-        carry_ref[:, 0] = jnp.min(jnp.where(contrib, pinc, t_carry),
-                                  axis=1)
-        for i in range(4):
-            carry_ref[:, 1 + i] = new_prefix[i]
+            carry_ref[:, 0] = jnp.min(jnp.where(contrib, pinc, t_carry),
+                                      axis=1)
+            for i in range(4):
+                carry_ref[:, 1 + i] = new_prefix[i]
 
 
 def _bwd_chunks_pallas(chunk_data, chunk_n, chunk_tid, chunk_first,
                        chunk_arow, out, cot, grid_x: int, tile: int):
     C, _, K = chunk_data.shape
+    assert K % KB == 0, f"chunk width must be a multiple of {KB}"
     P = tile * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -421,7 +429,8 @@ def _bwd_chunks_pallas(chunk_data, chunk_n, chunk_tid, chunk_first,
         scratch_shapes=[pltpu.VMEM((P, 8), jnp.float32)],
     )
     return pl.pallas_call(
-        partial(_bwd_chunk_kernel, grid_x=grid_x, tile=tile),
+        partial(_bwd_chunk_kernel, grid_x=grid_x, tile=tile,
+                nblocks=K // KB),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C, 16, K), jnp.float32),
         interpret=_interpret(),
@@ -433,7 +442,7 @@ def _bwd_chunks_pallas(chunk_data, chunk_n, chunk_tid, chunk_first,
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def blend_chunks(chunk_data, chunk_n, chunk_tid, chunk_first, chunk_arow,
                  n_rows: int, grid_x: int, tile: int = 16):
-    """(C, 16, KB) chunked tile data -> (n_rows, P, 8) blended
+    """(C, 16, kb) chunked tile data (kb = m*128) -> (n_rows, P, 8) blended
     [r, g, b, depth, T_final, 0, 0, 0] per active tile. Rows whose tile got
     no chunk (empty tiles inside the active list) are UNDEFINED — callers
     mask them with tile_count > 0."""

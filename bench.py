@@ -44,7 +44,7 @@ WARMUP = 2
 ITERS = 10
 
 RASTER_KW = dict(k_max=256, max_dup=16, max_active_tiles=6144,
-                 scatter_pad=128)
+                 scatter_pad=128, chunk_kb=256)
 
 
 def _zero_head_outputs(params, names=("position_net", "other_net")):

@@ -202,6 +202,51 @@ def test_ragged_grads_match_ref_autodiff():
                                    rtol=1e-3, atol=1e-4, err_msg=name)
 
 
+def test_ragged_kb256_matches_ref_backend():
+    """Wider chunks (kb=256 = two 128-lane sub-blocks per grid step) must
+    blend identically: exercises the in-chunk sub-block loop AND the
+    cross-chunk carry together."""
+    means, scales, q, opac, colors, extr, intr = make_scene(n=400, seed=7)
+    bg = np.array([0.1, 0.3, 0.2], np.float32)
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(q),
+            jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(bg),
+            jnp.asarray(extr), jnp.asarray(intr))
+    out_ref = render(*args, W, H, config=RasterizeConfig(
+        backend="ref", k_max=512, max_dup=16))
+    out_rag = render(*args, W, H, config=RasterizeConfig(
+        backend="pallas", max_dup=16, n_chunks=32, chunk_kb=256))
+    assert int(out_rag["n_overflow"]) == 0
+    for k in ["render", "depth", "mask"]:
+        np.testing.assert_allclose(np.asarray(out_rag[k]),
+                                   np.asarray(out_ref[k]), atol=1e-5,
+                                   err_msg=k)
+
+
+def test_max_pairs_budget_counts_overflow():
+    """The compact expansion drops the deepest Gaussians' pairs when the
+    static budget is exceeded — counted, and a covering budget matches the
+    legacy capacity exactly."""
+    means, scales, q, opac, colors, extr, intr = make_scene(n=200, seed=11)
+    bg = np.zeros(3, np.float32)
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(q),
+            jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(bg),
+            jnp.asarray(extr), jnp.asarray(intr))
+    out_legacy = render(*args, W, H, config=RasterizeConfig(
+        backend="ref", k_max=512, max_dup=16))
+    n_pairs = int(out_legacy["n_pairs"])
+    assert n_pairs > 64
+    out_cover = render(*args, W, H, config=RasterizeConfig(
+        backend="ref", k_max=512, max_dup=16, max_pairs=n_pairs))
+    assert int(out_cover["n_overflow"]) == 0
+    for k in ["render", "depth", "mask"]:
+        np.testing.assert_allclose(np.asarray(out_cover[k]),
+                                   np.asarray(out_legacy[k]), atol=1e-6,
+                                   err_msg=k)
+    out_small = render(*args, W, H, config=RasterizeConfig(
+        backend="ref", k_max=512, max_dup=16, max_pairs=64))
+    assert int(out_small["n_overflow"]) == n_pairs - 64
+
+
 def test_ragged_chunk_budget_overflow_counted():
     means, scales, q, opac, colors, extr, intr = make_scene(n=400, seed=7)
     bg = np.zeros(3, np.float32)
