@@ -116,6 +116,47 @@ def _gt_bwd(scatter_pad, res, g):
 _gather_tiles.defvjp(_gt_fwd, _gt_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _gather_tiles_compressed(rows, tile_gid, pair_slot, pair_gid,
+                             scatter_pad: int):
+    """Rect-mode tile gather whose VJP scatter-adds only the S=max_pairs
+    REAL pair rows (gathered out of the padded (A, K) cotangent via the
+    binning pair_slot map) instead of all A*K padded slots. Semantically
+    identical to _gather_tiles — the blend kernel zeroes gradients on dead
+    slots (k >= count), so dropping them is exact — but the scatter volume
+    is the true pair count, not the padding (5.24M -> 1.6M at bench scale,
+    210 ms -> ~35 ms measured scatter cost)."""
+    return jnp.swapaxes(rows[tile_gid], 1, 2)
+
+
+def _gtc_fwd(rows, tile_gid, pair_slot, pair_gid, scatter_pad):
+    return _gather_tiles_compressed(rows, tile_gid, pair_slot, pair_gid,
+                                    scatter_pad), \
+        (tile_gid.shape, rows.shape, pair_slot, pair_gid)
+
+
+def _gtc_bwd(scatter_pad, res, g):
+    (A, K), (N, C), pair_slot, pair_gid = res
+    g = jnp.swapaxes(g, 1, 2).reshape(A * K, C)     # (A*K, 16)
+    # dead slots point at A*K (clamped to a garbage row) but their gid is
+    # the sentinel N, so the garbage lands in the sliced-away row.
+    glive = g[jnp.minimum(pair_slot, A * K - 1), :_N_LIVE_CH]   # (S, 10)
+    pad = max(scatter_pad, _N_LIVE_CH)
+    up = jnp.concatenate(
+        [glive, jnp.zeros((glive.shape[0], pad - _N_LIVE_CH), g.dtype)],
+        axis=1)
+    acc = jnp.zeros((N + 1, pad), g.dtype).at[pair_gid].add(up)
+    grad = jnp.zeros((N, C), g.dtype).at[:, :_N_LIVE_CH].set(
+        acc[:N, :_N_LIVE_CH])
+    return (grad,
+            jnp.zeros((A, K), jax.dtypes.float0),
+            jnp.zeros(pair_slot.shape, jax.dtypes.float0),
+            jnp.zeros(pair_gid.shape, jax.dtypes.float0))
+
+
+_gather_tiles_compressed.defvjp(_gtc_fwd, _gtc_bwd)
+
+
 def _blend(tile_data, tile_count, tile_ids, grid_x, tile, backend):
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "ref"
@@ -216,7 +257,9 @@ def render(
         counts_a, tile_ids, tile_gid = (bins.tile_count, bins.tile_ids,
                                         bins.tile_gid)
 
-        tile_data = _gather_tiles(rows, tile_gid, config.scatter_pad)
+        tile_data = _gather_tiles_compressed(rows, tile_gid, bins.pair_slot,
+                                             bins.pair_gid,
+                                             config.scatter_pad)
 
         out_a = _blend(tile_data, counts_a, tile_ids, grid_x, config.tile,
                        config.backend)                     # (A, P, 8)

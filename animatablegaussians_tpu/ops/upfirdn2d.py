@@ -152,10 +152,46 @@ def upsample(x: jnp.ndarray, kernel: np.ndarray, factor: int = 2) -> jnp.ndarray
     return upfirdn2d(x, k, up=factor, down=1, pad=(pad0, pad1))
 
 
+_DOWN_POLY_CACHE: dict = {}
+
+
 def downsample(x: jnp.ndarray, kernel: np.ndarray, factor: int = 2) -> jnp.ndarray:
     p = kernel.shape[0] - factor
     pad0 = (p + 1) // 2
     pad1 = p // 2
+    c = x.shape[-1]
+    if (factor == 2 and isinstance(kernel, np.ndarray)
+            and kernel.shape[0] % 2 == 0 and kernel.shape[0] == kernel.shape[1]
+            and (pad0 + pad1) % 2 == 0 and c <= 64
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+        # Polyphase: a full-res depthwise FIR at c<=12 uses <10% of a vreg
+        # lane-wise on TPU (measured ~3.5 ms per 512^2 call). Split the
+        # stride-2 correlation into its 4 input parities: space-to-depth +
+        # one dense (kh/2, kw/2, 4c, c) conv whose kernel is block-diagonal
+        # (tap f at phase (a, b): flip(k)[2m+a, 2n+b] on the matching
+        # channel). Identical taps, conv-order summation.
+        key = (c, kernel.tobytes(), kernel.shape)
+        if key not in _DOWN_POLY_CACHE:
+            kf = np.flip(kernel.astype(np.float32), (0, 1))
+            kh = kernel.shape[0]
+            w = np.zeros((kh // 2, kh // 2, 4 * c, c), np.float32)
+            for a in (0, 1):
+                for b in (0, 1):
+                    pidx = a * 2 + b
+                    taps = kf[a::2, b::2]                  # (kh/2, kh/2)
+                    for ci in range(c):
+                        w[:, :, pidx * c + ci, ci] = taps
+            _DOWN_POLY_CACHE[key] = w
+        w = _DOWN_POLY_CACHE[key]
+        xp = jnp.pad(x, ((0, 0), (pad0, pad1), (pad0, pad1), (0, 0)))
+        n, hp, wp, _ = xp.shape
+        ph = xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
+        ph = ph.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2,
+                                                    4 * c)
+        return jax.lax.conv_general_dilated(
+            ph, jnp.asarray(w, x.dtype), (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=_fir_precision())
     return upfirdn2d(x, kernel, up=1, down=factor, pad=(pad0, pad1))
 
 
@@ -177,27 +213,55 @@ def haar_wavelets() -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
 
 
 def haar_transform(x: jnp.ndarray) -> jnp.ndarray:
-    """(N, H, W, C) -> (N, H/2, W/2, 4C) with [ll, lh, hl, hh] channel blocks."""
-    ll, lh, hl, hh = haar_wavelets()
-    return jnp.concatenate([
-        upfirdn2d(x, ll, down=2),
-        upfirdn2d(x, lh, down=2),
-        upfirdn2d(x, hl, down=2),
-        upfirdn2d(x, hh, down=2),
-    ], axis=-1)
+    """(N, H, W, C) -> (N, H/2, W/2, 4C) with [ll, lh, hl, hh] channel blocks.
+
+    A 2x2/stride-2 transform touches each input pixel exactly once per
+    subband, so instead of four depthwise convolutions (pathological lane
+    utilization at C<=12 on TPU: <10% of a vreg live) this is a
+    space-to-depth phase split + 4-term weighted sums — pure elementwise
+    work XLA fuses into one pass. Tap-for-tap identical math to the
+    upfirdn2d formulation (ref: dual_styleunet.py:374-400):
+    out_s[i,j] = sum_{a,b} k_s[a,b] * x[2i+1-a, 2j+1-b]."""
+    kers = haar_wavelets()                     # ll, lh, hl, hh
+    n, h, w, c = x.shape
+    p = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    ph = {(a, b): p[:, :, a, :, b, :] for a in (0, 1) for b in (0, 1)}
+    outs = []
+    for k in kers:
+        acc = None
+        for a in (0, 1):
+            for b in (0, 1):
+                term = float(k[1 - a, 1 - b]) * ph[(a, b)]
+                acc = term if acc is None else acc + term
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=-1)
 
 
 def inverse_haar_transform(x: jnp.ndarray) -> jnp.ndarray:
-    """(N, H, W, 4C) -> (N, 2H, 2W, C)."""
+    """(N, H, W, 4C) -> (N, 2H, 2W, C).
+
+    Inverse of haar_transform, likewise conv-free: with up=2 and a 2x2
+    kernel every output pixel receives exactly one tap per subband
+    (y[2i+a, 2j+b] = sum_s s_sign*k_s[a,b] * x_s[i,j]), so the synthesis is
+    4 phase images of 4-term weighted sums + depth-to-space. Bit-identical
+    summation order to the former 4-conv chain (ll + (-lh) + (-hl) + hh)."""
     ll_k, lh_k, hl_k, hh_k = haar_wavelets()
     c = x.shape[-1] // 4
-    ll, lh, hl, hh = (x[..., :c], x[..., c:2 * c], x[..., 2 * c:3 * c],
-                      x[..., 3 * c:])
-    pad = (1, 0, 1, 0)
-    return (upfirdn2d(ll, ll_k, up=2, pad=pad)
-            + upfirdn2d(lh, -lh_k, up=2, pad=pad)
-            + upfirdn2d(hl, -hl_k, up=2, pad=pad)
-            + upfirdn2d(hh, hh_k, up=2, pad=pad))
+    subs = (x[..., :c], x[..., c:2 * c], x[..., 2 * c:3 * c], x[..., 3 * c:])
+    signs = (1.0, -1.0, -1.0, 1.0)
+    kers = (ll_k, lh_k, hl_k, hh_k)
+    n, h, w = x.shape[0], x.shape[1], x.shape[2]
+    phases = []
+    for a in (0, 1):
+        for b in (0, 1):
+            acc = None
+            for s, sg, k in zip(subs, signs, kers):
+                term = (sg * float(k[a, b])) * s
+                acc = term if acc is None else acc + term
+            phases.append(acc)
+    y = jnp.stack(phases, axis=3)              # (N, H, W, 4, C)
+    y = y.reshape(n, h, w, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, 2 * h, 2 * w, c)
 
 
 # ---------------------------------------------------------------------------

@@ -217,3 +217,25 @@ def test_render_fused_select_matches_head_methods():
                                np.asarray(scales), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gv["rotations"]),
                                np.asarray(ref["rotations"]), atol=1e-5)
+
+
+def test_viewdir_halfres_scatter_matches_fullres_slice():
+    """The direct half-res viewdir scatter (avatar.py __init__ vd_half_*)
+    must reproduce the fallback exactly: full-res masked scatter followed by
+    the reference's nearest x0.5 downsample [::2, ::2]
+    (ref: network/avatar.py:126-135 interpolate(scale_factor=0.5))."""
+    net, _, _ = _tiny_avatar()
+    assert net.vd_half_src is not None, "fast path must be active at tb=8"
+
+    dots = jnp.asarray(
+        np.random.default_rng(3).normal(size=(net.n_points,)), jnp.float32)
+
+    hb = net.texel_block // 2
+    hh, hw = net.map_h // 2, net.map_w // 2
+    v = dots[net.vd_half_src].reshape(-1, hb)
+    half = jnp.zeros((hh * hw // hb, hb), jnp.float32).at[
+        net.vd_half_tgt].set(v, unique_indices=True, indices_are_sorted=True,
+                             mode="promise_in_bounds").reshape(hh, hw)
+
+    ref = net._scatter_masked(dots)[::2, ::2]
+    np.testing.assert_array_equal(np.asarray(half), np.asarray(ref))
