@@ -144,10 +144,14 @@ def conv_layer_init(key, in_ch, out_ch, k, downsample_=False, activate=True,
 _DOWNBLUR_COMPOSE: dict = {}
 
 
-def _downblur_compose_mat(k: int) -> jnp.ndarray:
-    """M[a,b,kk,jj] = flip(blur)[a-kk, b-jj]: contracting the conv weight
-    with M yields the (k+3, k+3) kernel of the fused blur -> stride-2 conv
-    chain (two successive correlations compose by kernel convolution)."""
+def _downblur_phase_mat(k: int) -> np.ndarray:
+    """P[(a*2+b)*kh2*kw2 + r*kw2 + c, kk*k + jj] = M[2r+a, 2c+b, kk, jj]
+    where M[a,b,kk,jj] = flip(blur)[a-kk, b-jj] (two successive correlations
+    compose by kernel convolution). One (4*kh2*kw2, k*k) matmul with the
+    flattened conv weight yields the 4-input-parity kernel of the fused
+    blur -> stride-2 conv chain directly — the einsum+slice+concat chain it
+    replaces lowered its backward to a ~8 ms reduce fusion per 512-ch layer
+    on TPU (the tiny 9-element contraction axis defeats the MXU path)."""
     key = (k, BLUR_KERNEL)
     if key not in _DOWNBLUR_COMPOSE:
         bf = np.flip(make_kernel(BLUR_KERNEL), (0, 1))
@@ -159,8 +163,11 @@ def _downblur_compose_mat(k: int) -> jnp.ndarray:
                 for kk in range(max(0, a - kb + 1), min(k, a + 1)):
                     for jj in range(max(0, b - kb + 1), min(k, b + 1)):
                         m[a, b, kk, jj] = bf[a - kk, b - jj]
-        _DOWNBLUR_COMPOSE[key] = m  # cache numpy (tracer-safe)
-    return jnp.asarray(_DOWNBLUR_COMPOSE[key])
+        ph = np.stack([m[a::2, b::2] for a in (0, 1) for b in (0, 1)])
+        kh2, kw2 = ph.shape[1], ph.shape[2]
+        _DOWNBLUR_COMPOSE[key] = (
+            ph.reshape(4 * kh2 * kw2, k * k), kh2, kw2)  # numpy (tracer-safe)
+    return _DOWNBLUR_COMPOSE[key]
 
 
 def _blur_conv_down(x, w, k):
@@ -172,9 +179,12 @@ def _blur_conv_down(x, w, k):
     space-to-depth + one regular ceil((k+3)/2)^2 conv over 4*in_ch channels.
     Exact to f32 roundoff vs the chain (kernel composition reassociates two
     correlations)."""
-    m = _downblur_compose_mat(k)
-    q = jnp.einsum('kjio,abkj->abio', w, m,
-                   precision=jax.lax.Precision.HIGHEST)  # (k+3, k+3, in, out)
+    pm, kh2, kw2 = _downblur_phase_mat(k)
+    ci, co = w.shape[2], w.shape[3]
+    q = jnp.dot(jnp.asarray(pm), w.reshape(k * k, ci * co),
+                precision=jax.lax.Precision.HIGHEST)
+    kall = q.reshape(4, kh2, kw2, ci, co).transpose(1, 2, 0, 3, 4) \
+        .reshape(kh2, kw2, 4 * ci, co)
     pd = (len(BLUR_KERNEL) - 2) + (k - 1)
     pl, pr = (pd + 1) // 2, pd // 2
     xp = jnp.pad(x, ((0, 0), (pl, pr), (pl, pr), (0, 0)))
@@ -182,9 +192,6 @@ def _blur_conv_down(x, w, k):
     assert hp % 2 == 0 and wp % 2 == 0
     ph = xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
     ph = ph.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * c)
-    # phase (a, b) of the input pairs with kernel taps q[a::2, b::2]
-    kall = jnp.concatenate([q[a::2, b::2] for a in (0, 1) for b in (0, 1)],
-                           axis=2)                     # (kh2, kw2, 4in, out)
     return conv2d(ph, kall, padding=0)
 
 
@@ -226,14 +233,19 @@ def modulated_conv2d_init(key, in_ch, out_ch, k, style_dim, demodulate=True):
 _UPBLUR_COMPOSE: dict = {}
 
 
-def _upblur_compose_mat(k: int) -> jnp.ndarray:
-    """M[a,b,kk,jj] = flip(blur4)[a-kk, b-jj]: contracting the modulated
-    weight with M yields the (k+3, k+3) kernel of the fused
-    conv_transpose2d(stride 2) -> FIR-blur chain (two successive
-    correlations compose by plain kernel convolution)."""
+def _upblur_phase_mat(k: int) -> np.ndarray:
+    """P[(pa*2+pb)*k*k + r*k + c, kk*k + jj] =
+    M[idx[pa][r], idx[pb][c], k-1-kk, k-1-jj] where
+    M[a,b,kk,jj] = flip(blur4)[a-kk, b-jj] and idx = ((1,3,5), (0,2,4)):
+    one (4*k*k, k*k) matmul with the flattened modulated weight yields the
+    4-output-parity kernel of the fused conv_transpose2d(stride 2) ->
+    FIR-blur chain directly (flip and phase slicing folded into the
+    matrix). The einsum+slice+concat chain it replaces lowered its
+    backward to a ~8 ms reduce fusion per 512-ch layer on TPU (the tiny
+    9-element contraction axis defeats the MXU path; 12 such layers ~94 ms
+    of the round-3 step profile)."""
     key = (k, BLUR_KERNEL)
     if key not in _UPBLUR_COMPOSE:
-        import numpy as np
         b4 = np.flip(make_kernel(BLUR_KERNEL) * 4.0, (0, 1))
         kb = b4.shape[0]
         kc = k + kb - 1
@@ -245,11 +257,14 @@ def _upblur_compose_mat(k: int) -> jnp.ndarray:
                     kj0, kj1 = max(0, b - kb + 1), min(k, b + 1)
                     for jj in range(kj0, kj1):
                         m[a, b, kk, jj] = b4[a - kk, b - jj]
-        # cache the NUMPY array: jnp.asarray inside a jit trace yields a
-        # tracer, and caching that leaks it across traces
-        # (UnexpectedTracerError on the next trace).
-        _UPBLUR_COMPOSE[key] = m
-    return jnp.asarray(_UPBLUR_COMPOSE[key])
+        mf = np.flip(m, (2, 3))            # fold the weight flip in
+        idx = ((1, 3, 5), (0, 2, 4))       # output parity -> kernel taps
+        ph = np.stack([mf[idx[pa], :][:, idx[pb]]
+                       for pa in (0, 1) for pb in (0, 1)])   # (4,k,k,k,k)
+        # cache NUMPY: jnp.asarray inside a jit trace yields a tracer, and
+        # caching that leaks it across traces (UnexpectedTracerError).
+        _UPBLUR_COMPOSE[key] = ph.reshape(4 * k * k, k * k)
+    return _UPBLUR_COMPOSE[key]
 
 
 def _up_conv_polyphase(xi, w):
@@ -265,12 +280,12 @@ def _up_conv_polyphase(xi, w):
     512^2 64ch. Requires k == 3 (the only styled-conv kernel size,
     ref: dual_styleunet.py:652-712)."""
     k = w.shape[0]
-    m = _upblur_compose_mat(k)
-    c6 = jnp.einsum('kjio,abkj->abio', jnp.flip(w, (0, 1)), m,
-                    precision=jax.lax.Precision.HIGHEST)   # (k+3,k+3,in,out)
-    idx = ((1, 3, 5), (0, 2, 4))   # output parity -> kernel taps (kc=6)
-    ks = [c6[idx[pa], :][:, idx[pb]] for pa in (0, 1) for pb in (0, 1)]
-    kall = jnp.concatenate(ks, axis=-1)                    # (k,k,in,4*out)
+    pm = _upblur_phase_mat(k)                              # (4*k*k, k*k)
+    ci, co = w.shape[2], w.shape[3]
+    q = jnp.dot(jnp.asarray(pm), w.reshape(k * k, ci * co),
+                precision=jax.lax.Precision.HIGHEST)
+    kall = q.reshape(4, k, k, ci, co).transpose(1, 2, 3, 0, 4) \
+        .reshape(k, k, ci, 4 * co)                         # (k,k,in,4*out)
     o = conv2d(xi, kall, padding=k // 2)
     n, h, wd, c4 = o.shape
     c = c4 // 4
