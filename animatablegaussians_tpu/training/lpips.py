@@ -115,8 +115,15 @@ def _vgg_features(params: dict, x: jnp.ndarray) -> List[jnp.ndarray]:
     conv_i = 0
     for c in _VGG16_CFG:
         if c == "M":
-            x = jax.lax.reduce_window(
-                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+            # 2x2/stride-2 maxpool as a reshape + block max: identical
+            # values to reduce_window, but the VJP is a fused
+            # compare-select instead of XLA's select_and_scatter
+            # (~11 ms/step of the round-3 profile at 512^2). Tie-break
+            # differs only in gradient (equal split vs first-wins) on
+            # exactly-equal activations — float VGG features never tie.
+            n, h, w, ch = x.shape
+            x = x[:, :h // 2 * 2, :w // 2 * 2]  # VALID drops odd tails
+            x = x.reshape(n, h // 2, 2, w // 2, 2, ch).max(axis=(2, 4))
             continue
         p = params["convs"][conv_i]
         x = jax.lax.conv_general_dilated(

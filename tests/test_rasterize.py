@@ -361,3 +361,42 @@ def test_active_tile_compaction_matches_full_grid():
     np.testing.assert_allclose(np.asarray(g_comp), np.asarray(g_full),
                                rtol=1e-5, atol=1e-6)
     assert dropped or True  # silence lint; drop-count asserted above
+
+
+def test_compressed_gather_vjp_matches_padded():
+    """The compressed-backward gather (scatter-add over the S=max_pairs real
+    pair rows via the binning pair_slot/pair_gid map) must produce the same
+    input gradient as the padded-slot path bit-for-bit: the blend kernel
+    zeroes cotangents on dead (k >= count) slots, so dropping them is exact
+    (see api._gather_tiles_compressed)."""
+    from animatablegaussians_tpu.ops.rasterize.api import (
+        _gather_tiles, _gather_tiles_compressed, _pack_rows)
+    from animatablegaussians_tpu.ops.rasterize.blend_ref import blend_tiles_ref
+
+    means, scales, q, opac, colors, extr, intr = make_scene(n=80, seed=5)
+    vm, pm = _full_projection_traced(jnp.asarray(extr), jnp.asarray(intr),
+                                     W, H)
+    pre = preprocess(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(q),
+                     vm, pm, W / (2 * intr[0, 0]), H / (2 * intr[1, 1]), W, H)
+    K, D = 64, 8
+    # active-tile cap engaged (A < T) so rank_of_tile takes the scatter path
+    bins = bin_gaussians(pre.means2d, pre.depths, pre.radii, pre.valid,
+                         W, H, TILE, D, K, max_active_tiles=8)
+    rows = _pack_rows(pre, jnp.asarray(opac), jnp.asarray(colors))
+    grid_x = -(-W // TILE)
+    probe = jnp.sin(jnp.arange(
+        bins.tile_gid.shape[0] * TILE * TILE * 8, dtype=jnp.float32))
+
+    def loss(gather_fn):
+        def f(r):
+            td = gather_fn(r)
+            out = blend_tiles_ref(td, bins.tile_count, grid_x, TILE)
+            return jnp.sum(out * probe.reshape(out.shape))
+        return f
+
+    g_comp = jax.grad(loss(lambda r: _gather_tiles_compressed(
+        r, bins.tile_gid, bins.pair_slot, bins.pair_gid, 128)))(rows)
+    g_pad = jax.grad(loss(lambda r: _gather_tiles(
+        r, bins.tile_gid, 128)))(rows)
+    np.testing.assert_allclose(np.asarray(g_comp), np.asarray(g_pad),
+                               rtol=1e-6, atol=1e-6)
