@@ -129,6 +129,28 @@ class AvatarNet:
             self.vd_half_src = None
             self.vd_half_tgt = None
 
+        # Direct CNN-output select layout: the (H, 2H) assembled map is
+        # [front | back] along x with S = out_size columns each, and a
+        # tb-aligned block never straddles the seam (S % tb == 0) — so the
+        # masked select can read the raw (S, S, 2C) head outputs directly
+        # (front blocks channels [:C], back blocks [C:]) and skip the three
+        # full-res front|back width-concats of _net_out_to_map
+        # (ref: network/avatar.py:84-124 assembles the same [front|back]
+        # map before masking).
+        S = self.out_size
+        if self.map_w == 2 * S and S % tb == 0:
+            blk_t0 = block_idx * tb
+            blk_iy = blk_t0 // self.map_w
+            blk_ix0 = blk_t0 % self.map_w
+            front = blk_ix0 < S
+            row = blk_iy * (S // tb) + np.where(front, blk_ix0,
+                                                blk_ix0 - S) // tb
+            self.dual_row = jnp.asarray(row, jnp.int32)          # (B,)
+            self.dual_front = jnp.asarray(front[:, None, None])  # (B,1,1)
+        else:
+            self.dual_row = None
+            self.dual_front = None
+
         kw = dict(inp_size=self.inp_size, inp_ch=3, out_size=self.out_size,
                   style_dim=512, n_mlp=2,
                   channel_max=int(opt.get("channel_max", 512)),
@@ -202,6 +224,29 @@ class AvatarNet:
         """CNN output (1, S, S, 2C) -> (S, 2S, C) front|back map."""
         front, back = out[0, :, :, :out_ch], out[0, :, :, out_ch:]
         return jnp.concatenate([front, back], axis=1)
+
+    def _select_masked_dual(self, outs) -> jnp.ndarray:
+        """[(1, S, S, 2C_i)] raw head outputs -> (N, sum C_i) masked texels.
+
+        Equals _select_masked(concat of _net_out_to_map(out_i)) exactly
+        (test_training.py pins it), but reads the head outputs in place:
+        front blocks take channels [:C_i], back blocks [C_i:] on the same
+        block rows (see the dual_row layout in __init__), skipping three
+        full-res front|back concat copies per step."""
+        tb = self.texel_block
+        S = self.out_size
+        x = jnp.concatenate([o[0] for o in outs], axis=-1)
+        # front and back blocks may share a raw row -> no unique/sorted
+        # annotations (the VJP must scatter-ADD duplicates)
+        rows = x.reshape(S * S // tb, tb, x.shape[-1])[self.dual_row]
+        vals, off = [], 0
+        for o in outs:
+            c2 = o.shape[-1]
+            seg = rows[:, :, off:off + c2]
+            vals.append(jnp.where(self.dual_front, seg[:, :, :c2 // 2],
+                                  seg[:, :, c2 // 2:]))
+            off += c2
+        return jnp.concatenate(vals, axis=-1).reshape(self.n_points, -1)
 
     # -- heads (ref: avatar.py:93-147) ----------------------------------
     def get_positions(self, params, pose_map, return_map=False):
@@ -375,24 +420,31 @@ class AvatarNet:
         if self.random_style and training and rng is not None:
             style = jax.random.uniform(rng, (1, self.style_dim))
 
-        # Run the three heads to maps, then do ONE masked-texel select on the
-        # concatenated (H, 2H, 14) map: the three separate selects' VJPs were
+        # Run the three heads, then do ONE masked-texel select on their
+        # concatenated outputs: the three separate selects' VJPs were
         # three ~22 ms scatter-adds at 518k texels; identical indices fuse
-        # them into one.
-        pos_map = self._net_out_to_map(
-            self.position_net.apply(params["position_net"],
-                                    self.constant_style(), pose_map[None]), 3)
-        other_map = self._net_out_to_map(
-            self.other_net.apply(params["other_net"],
-                                 self.constant_style(), pose_map[None]), 8)
+        # them into one. The select reads the raw (S, S, 2C) outputs via
+        # the dual_row layout when available (skips three full-res
+        # front|back concat copies).
+        pos_out = self.position_net.apply(params["position_net"],
+                                          self.constant_style(),
+                                          pose_map[None])
+        other_out = self.other_net.apply(params["other_net"],
+                                         self.constant_style(),
+                                         pose_map[None])
         color_style = self.constant_style() if style is None else style
-        color_map = self._net_out_to_map(
-            self.color_net.apply(params["color_net"], color_style,
-                                 pose_map[None],
-                                 view_feature1=front_vd,
-                                 view_feature2=back_vd), 3)
-        sel = self._select_masked(jnp.concatenate(
-            [pos_map, other_map, color_map], axis=-1))     # (N, 14)
+        color_out = self.color_net.apply(params["color_net"], color_style,
+                                         pose_map[None],
+                                         view_feature1=front_vd,
+                                         view_feature2=back_vd)
+        if self.dual_row is not None:
+            sel = self._select_masked_dual(
+                [pos_out, other_out, color_out])           # (N, 14)
+        else:
+            sel = self._select_masked(jnp.concatenate(
+                [self._net_out_to_map(pos_out, 3),
+                 self._net_out_to_map(other_out, 8),
+                 self._net_out_to_map(color_out, 3)], axis=-1))
 
         g: GaussianParams = params["cano_gaussian"]
         cano_pts = 0.05 * sel[:, :3] + g.get_xyz
@@ -426,10 +478,14 @@ class AvatarNet:
                      config=self.raster_config,
                      valid_mask=self.valid)
 
+        # assembled (S, 2S, C) maps for visualization consumers; unused
+        # outputs are dead code XLA eliminates inside the train step
         ret = dict(rgb_map=out["render"], mask_map=out["mask"],
                    depth_map=out["depth"], offset=nonrigid_offset,
-                   pos_map=pos_map, n_overflow=out["n_overflow"],
+                   pos_map=self._net_out_to_map(pos_out, 3),
+                   n_overflow=out["n_overflow"],
                    n_pairs=out["n_pairs"])
         if not training:
-            ret.update(cano_tex_map=color_map, posed_gaussians=gaussian_vals)
+            ret.update(cano_tex_map=self._net_out_to_map(color_out, 3),
+                       posed_gaussians=gaussian_vals)
         return ret
