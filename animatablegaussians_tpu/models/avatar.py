@@ -220,6 +220,29 @@ class AvatarNet:
         out = out.reshape(self.map_h, self.map_w, C)
         return out[..., 0] if channels == 0 else out
 
+    def _scatter_masked_half(self, vals: jnp.ndarray, channels: int = 0):
+        """(N, [C]) point values -> (H/2, W/2, [C]) half-res map: the
+        reference's nearest x0.5 interpolate of the scattered full-res map
+        (ref: network/avatar.py:126-135, 149-159) reads only even-(row,col)
+        texels, so those points scatter straight into the half-res map as
+        contiguous tb/2-runs (see the vd_half layout in __init__), skipping
+        the full-res intermediate (~17 ms/step at 1024x2048). Equals
+        _scatter_masked(vals)[::2, ::2] exactly (test_training.py pins it)."""
+        tb = self.texel_block
+        C = max(channels, 1)
+        if self.vd_half_src is None:
+            out = self._scatter_masked(vals, channels=channels)
+            return out[::2, ::2]
+        hb = tb // 2
+        hh, hw = self.map_h // 2, self.map_w // 2
+        v = vals.reshape(self.n_points, C)[self.vd_half_src]
+        out = jnp.zeros((hh * hw // hb, hb, C), jnp.float32).at[
+            self.vd_half_tgt].set(v.reshape(-1, hb, C), unique_indices=True,
+                                  indices_are_sorted=True,
+                                  mode="promise_in_bounds")
+        out = out.reshape(hh, hw, C)
+        return out[..., 0] if channels == 0 else out
+
     def _net_out_to_map(self, out: jnp.ndarray, out_ch: int) -> jnp.ndarray:
         """CNN output (1, S, S, 2C) -> (S, 2S, C) front|back map."""
         front, back = out[0, :, :, :out_ch], out[0, :, :, out_ch:]
@@ -298,19 +321,7 @@ class AvatarNet:
                 jnp.linalg.norm(viewdirs, axis=-1, keepdims=True), 1e-3)
         dots = jnp.sum(live_nmls * viewdirs, axis=-1)
 
-        if self.vd_half_src is not None:
-            # direct half-res scatter of the even-texel points (see __init__)
-            hb = self.texel_block // 2
-            hh, hw = self.map_h // 2, self.map_w // 2
-            v = dots[self.vd_half_src].reshape(-1, hb)
-            vmap = jnp.zeros((hh * hw // hb, hb), jnp.float32).at[
-                self.vd_half_tgt].set(v, unique_indices=True,
-                                      indices_are_sorted=True,
-                                      mode="promise_in_bounds")
-            vmap = vmap.reshape(hh, hw)
-        else:
-            vmap_full = self._scatter_masked(dots)             # (H, 2H)
-            vmap = vmap_full[::2, ::2]                         # nearest x0.5
+        vmap = self._scatter_masked_half(dots)                 # (H/2, W/2)
         half = vmap.shape[1] // 2
         front, back = vmap[:, :half], vmap[:, half:]
 
@@ -359,8 +370,7 @@ class AvatarNet:
                              items["cano2live_jnt_mats_woRoot"])
         live_pts = (jnp.einsum("nxy,ny->nx", pt_mats[:, :3, :3],
                                self.init_points) + pt_mats[:, :3, 3])
-        live_map = self._scatter_masked(live_pts, channels=3)  # (H, 2H, 3)
-        live_map = live_map[::2, ::2]                          # (S, 2S, 3)
+        live_map = self._scatter_masked_half(live_pts, channels=3)
         half = live_map.shape[1] // 2
         return jnp.concatenate([live_map[:, :half], live_map[:, half:]],
                                axis=-1)                        # (S, S, 6)

@@ -229,13 +229,13 @@ def test_viewdir_halfres_scatter_matches_fullres_slice():
 
     dots = jnp.asarray(
         np.random.default_rng(3).normal(size=(net.n_points,)), jnp.float32)
-
-    hb = net.texel_block // 2
-    hh, hw = net.map_h // 2, net.map_w // 2
-    v = dots[net.vd_half_src].reshape(-1, hb)
-    half = jnp.zeros((hh * hw // hb, hb), jnp.float32).at[
-        net.vd_half_tgt].set(v, unique_indices=True, indices_are_sorted=True,
-                             mode="promise_in_bounds").reshape(hh, hw)
-
+    half = net._scatter_masked_half(dots)
     ref = net._scatter_masked(dots)[::2, ::2]
     np.testing.assert_array_equal(np.asarray(half), np.asarray(ref))
+
+    # multi-channel variant (the pose-map regen path, get_pose_map)
+    pts = jnp.asarray(np.random.default_rng(4).normal(
+        size=(net.n_points, 3)), jnp.float32)
+    half3 = net._scatter_masked_half(pts, channels=3)
+    ref3 = net._scatter_masked(pts, channels=3)[::2, ::2]
+    np.testing.assert_array_equal(np.asarray(half3), np.asarray(ref3))
