@@ -213,13 +213,14 @@ def test_ragged_kb256_matches_ref_backend():
             jnp.asarray(extr), jnp.asarray(intr))
     out_ref = render(*args, W, H, config=RasterizeConfig(
         backend="ref", k_max=512, max_dup=16))
-    out_rag = render(*args, W, H, config=RasterizeConfig(
-        backend="pallas", max_dup=16, n_chunks=32, chunk_kb=256))
-    assert int(out_rag["n_overflow"]) == 0
-    for k in ["render", "depth", "mask"]:
-        np.testing.assert_allclose(np.asarray(out_rag[k]),
-                                   np.asarray(out_ref[k]), atol=1e-5,
-                                   err_msg=k)
+    for kb, nc in ((256, 32), (512, 16)):
+        out_rag = render(*args, W, H, config=RasterizeConfig(
+            backend="pallas", max_dup=16, n_chunks=nc, chunk_kb=kb))
+        assert int(out_rag["n_overflow"]) == 0
+        for k in ["render", "depth", "mask"]:
+            np.testing.assert_allclose(np.asarray(out_rag[k]),
+                                       np.asarray(out_ref[k]), atol=1e-5,
+                                       err_msg=f"kb={kb} {k}")
 
 
 def test_max_pairs_budget_counts_overflow():
