@@ -198,10 +198,13 @@ def make_train_step(avatar_net, optimizer, *, loss_weight: dict,
                     lpips_params=None, random_bg_color: bool = True,
                     patch_size: int = 512, random_patch_after: int = 300_000,
                     donate: bool = True, axis_name: Optional[str] = None,
-                    img_w: Optional[int] = None, img_h: Optional[int] = None):
+                    img_w: Optional[int] = None, img_h: Optional[int] = None,
+                    jit: bool = True):
     """Build the jitted single-example train step. With ``axis_name`` the
     gradients are pmean-ed across that mesh axis before the update (the
-    data-parallel path; the reference has no equivalent, SURVEY.md §2.9)."""
+    data-parallel path; the reference has no equivalent, SURVEY.md §2.9).
+    ``jit=False`` returns the raw step for callers that compose it further
+    (e.g. make_train_scan)."""
 
     def loss_fn(params, items, rng, iter_idx):
         return compute_losses(
@@ -221,6 +224,22 @@ def make_train_step(avatar_net, optimizer, *, loss_weight: dict,
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.iter_idx + 1), terms
 
-    if axis_name is not None:
-        return step  # caller wraps in shard_map/jit
+    if axis_name is not None or not jit:
+        return step  # caller wraps in shard_map/jit/scan
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_train_scan(step_fn):
+    """Sequential train steps as ONE compiled program via lax.scan (same
+    items every step; rngs (n, 2) carries one key per step). Identical math
+    to calling the step in a host loop — iter_idx lives in TrainState so
+    schedules and the random-patch switch advance normally — but the host
+    dispatches once per n steps, which matters when per-execute dispatch
+    overhead is material (axon remote-execute round trips measured at the
+    ms scale). ``step_fn`` must be the raw step (make_train_step(...,
+    jit=False)). Returns terms stacked along a leading (n,) axis."""
+    def multi(state, items, rngs):
+        def body(s, k):
+            return step_fn(s, items, k)
+        return jax.lax.scan(body, state, rngs)
+    return jax.jit(multi, donate_argnums=(0,))

@@ -111,26 +111,47 @@ def bench_train():
                           jnp.zeros((), jnp.int32))
     lpips_params = init_random(jax.random.PRNGKey(7))
 
-    step = at.make_train_step(
-        net, optimizer,
-        loss_weight=dict(l1=1.0, lpips=0.1, offset=0.005),
-        lpips_params=lpips_params, patch_size=512,
-        img_w=IMG_W, img_h=IMG_H)
+    # --scan N: N steps per dispatch via lax.scan — amortizes per-execute
+    # dispatch overhead; math identical to the host loop (equality test:
+    # tests/test_training.py::test_train_scan_matches_host_loop).
+    scan_n = 0
+    if "--scan" in sys.argv:
+        i = sys.argv.index("--scan")
+        scan_n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 8
 
+    kw = dict(loss_weight=dict(l1=1.0, lpips=0.1, offset=0.005),
+              lpips_params=lpips_params, patch_size=512,
+              img_w=IMG_W, img_h=IMG_H)
     items = {k: jnp.asarray(v) for k, v in items_np.items()}
     rng = jax.random.PRNGKey(0)
 
-    for i in range(WARMUP):
-        state, terms = step(state, items, jax.random.fold_in(rng, i))
-    jax.block_until_ready(state.params)
+    if scan_n:
+        scan = at.make_train_scan(
+            at.make_train_step(net, optimizer, jit=False, **kw))
+        keys = jax.random.split(rng, scan_n)
+        for _ in range(WARMUP):
+            state, terms = scan(state, items, keys)
+        jax.block_until_ready(state.params)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state, terms = scan(state, items, keys)
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        terms = {k: v[-1] for k, v in terms.items()}
+        it_s = ITERS * scan_n / dt
+    else:
+        step = at.make_train_step(net, optimizer, **kw)
+        for i in range(WARMUP):
+            state, terms = step(state, items, jax.random.fold_in(rng, i))
+        jax.block_until_ready(state.params)
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, terms = step(state, items, jax.random.fold_in(rng, 100 + i))
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
-
-    it_s = ITERS / dt
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            state, terms = step(state, items,
+                                jax.random.fold_in(rng, 100 + i))
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        it_s = ITERS / dt
     # binning-cap diagnostic (stderr; stdout carries only the JSON line):
     # (gaussian, tile) pairs dropped by the static caps this step. With the
     # create_from_pcd fixture + two-pass autosized caps this must be 0 —

@@ -239,3 +239,37 @@ def test_viewdir_halfres_scatter_matches_fullres_slice():
     half3 = net._scatter_masked_half(pts, channels=3)
     ref3 = net._scatter_masked(pts, channels=3)[::2, ::2]
     np.testing.assert_array_equal(np.asarray(half3), np.asarray(ref3))
+
+
+def test_train_scan_matches_host_loop():
+    """make_train_scan(step)(state, items, keys) must equal the same keys
+    fed through the jitted step in a host loop — scan changes dispatch,
+    not math (iter_idx advances inside TrainState either way)."""
+    from animatablegaussians_tpu.training import avatar_trainer as at
+    from animatablegaussians_tpu.training.lpips import init_random
+
+    net, params, items = _tiny_avatar()
+    opt = at.make_optimizer(lr_init=5e-4, iter_num=1000)
+    lp = init_random(jax.random.PRNGKey(7))
+    kw = dict(loss_weight=dict(l1=1.0, lpips=0.1, offset=0.005),
+              lpips_params=lp, patch_size=32, img_w=64, img_h=64)
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+
+    step = at.make_train_step(net, opt, donate=False, **kw)
+    s1 = at.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    loop_losses = []
+    for i in range(3):
+        s1, terms = step(s1, items, keys[i])
+        loop_losses.append(float(terms["total_loss"]))
+
+    scan = at.make_train_scan(at.make_train_step(net, opt, donate=False,
+                                                 jit=False, **kw))
+    s2 = at.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    s2, terms2 = scan(s2, items, keys)
+    np.testing.assert_allclose(np.asarray(terms2["total_loss"]),
+                               np.asarray(loop_losses), rtol=1e-6)
+    assert int(s2.iter_idx) == int(s1.iter_idx) == 3
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        s2.params, s1.params)
