@@ -82,7 +82,11 @@ def create_from_pcd(points: jnp.ndarray, colors: jnp.ndarray,
 
     n_rest = (sh_degree + 1) ** 2 - 1
     return GaussianParams(
-        xyz=points.astype(jnp.float32),
+        # explicit copy: astype(same dtype) is a no-op alias, and trainable
+        # params must not alias caller constants — a donating train step
+        # would delete the caller's array (e.g. AvatarNet.init_points,
+        # killing every later eager render with "Array has been deleted")
+        xyz=jnp.array(points, jnp.float32, copy=True),
         features_dc=rgb_to_sh(colors.astype(jnp.float32))[:, None, :],
         features_rest=jnp.zeros((n, n_rest, 3), jnp.float32),
         scaling=scales.astype(jnp.float32),

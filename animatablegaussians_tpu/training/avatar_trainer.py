@@ -243,3 +243,17 @@ def make_train_scan(step_fn):
             return step_fn(s, items, k)
         return jax.lax.scan(body, state, rngs)
     return jax.jit(multi, donate_argnums=(0,))
+
+
+def make_train_scan_batched(step_fn):
+    """make_train_scan where each step consumes its OWN example: every leaf
+    of ``batch`` carries a leading (n,) loader-batch axis and step i trains
+    on slice i with rngs[i] — the production multi-step path
+    (training/driver.py scan_steps). Same equality guarantee as
+    make_train_scan (tests/test_training.py)."""
+    def multi(state, batch, rngs):
+        def body(s, xk):
+            items, k = xk
+            return step_fn(s, items, k)
+        return jax.lax.scan(body, state, (batch, rngs))
+    return jax.jit(multi, donate_argnums=(0,))

@@ -105,6 +105,7 @@ class AvatarTrainer:
                        lpips_params=self.lpips_params,
                        random_bg_color=self.random_bg_color,
                        patch_size=self.PATCH_SIZE, img_w=img_w, img_h=img_h)
+        self.scan_steps = 1
         if self.use_dp:
             from animatablegaussians_tpu.parallel import data_parallel as dp
             self.mesh = dp.make_mesh()
@@ -116,8 +117,19 @@ class AvatarTrainer:
                   f"(per-chip batch 1, grad pmean)")
         else:
             self.mesh = None
-            self.train_step = at.make_train_step(
-                self.avatar_net, self.optimizer, **step_kw)
+            # scan_steps > 1: compile N sequential steps into one program
+            # (one dispatch per N optimizer steps; material when
+            # per-execute overhead is — see bench.py --scan). 1 = classic
+            # per-step dispatch.
+            self.scan_steps = int(self.opt["train"].get("scan_steps", 1))
+            if self.scan_steps > 1:
+                self.train_step = at.make_train_scan_batched(
+                    at.make_train_step(self.avatar_net, self.optimizer,
+                                       jit=False, **step_kw))
+                print(f"# lax.scan over {self.scan_steps} steps/dispatch")
+            else:
+                self.train_step = at.make_train_step(
+                    self.avatar_net, self.optimizer, **step_kw)
         self.pretrain_step = at.make_pretrain_step(
             self.avatar_net,
             at.make_optimizer(5e-4, self.PRETRAIN_ITERS))
@@ -215,7 +227,7 @@ class AvatarTrainer:
             writer = None
         loss_txt = open(os.path.join(self.net_ckpt_dir, "loss.txt"), "a")
 
-        batch_size = self.n_devices if self.use_dp else 1
+        batch_size = self.n_devices if self.use_dp else self.scan_steps
         if self.use_dp:
             from animatablegaussians_tpu.parallel import data_parallel as dp
             drop = {"img_w", "img_h", "item_idx", "data_idx", "smpl_faces",
@@ -243,6 +255,13 @@ class AvatarTrainer:
                     rngs = jax.random.split(sub, self.n_devices)
                     self.state, terms = self.train_step(self.state, batch,
                                                         rngs)
+                elif self.scan_steps > 1:
+                    items = self._items_to_device(batch)  # keep (n,) axis
+                    rng, sub = jax.random.split(rng)
+                    keys = jax.random.split(sub, self.scan_steps)
+                    self.state, terms = self.train_step(self.state, items,
+                                                        keys)
+                    terms = {k: v[-1] for k, v in terms.items()}
                 else:
                     item = {k: v[0] for k, v in batch.items()}
                     items = self._items_to_device(item)
@@ -251,7 +270,10 @@ class AvatarTrainer:
                                                         step_rng)
                 self.iter_idx = int(self.state.iter_idx)
 
-                if self.iter_idx % self.log_interval == 0:
+                # `< scan_steps` == `== 0` at scan_steps 1; with scans the
+                # counter advances N per call, so fire when a multiple of
+                # the interval was crossed this call.
+                if self.iter_idx % self.log_interval < self.scan_steps:
                     terms = {k: float(v) for k, v in terms.items()}
                     # Loud overflow check: the CUDA reference never drops a
                     # (gaussian, tile) pair (rasterizer_impl.cu:281-286);
@@ -280,9 +302,10 @@ class AvatarTrainer:
                     loss_txt.write(msg + "\n")
                     loss_txt.flush()
 
-                if self.iter_idx % self.eval_interval == 0:
+                if self.iter_idx % self.eval_interval < self.scan_steps:
                     self.mini_test()
-                if self.iter_idx % self.ckpt_interval["batch"] == 0:
+                if self.iter_idx % self.ckpt_interval["batch"] \
+                        < self.scan_steps:
                     d = os.path.join(self.net_ckpt_dir,
                                      f"batch_{self.iter_idx}")
                     self.save_ckpt(d)

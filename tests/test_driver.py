@@ -182,3 +182,21 @@ def test_data_parallel_trainer(full_capture, tmp_path):
     for a, b in zip(flat_s, flat_d):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4,
                                    atol=2e-5)
+
+
+def test_scan_steps_trainer(full_capture, tmp_path):
+    """scan_steps=2: the trainer compiles 2 optimizer steps per dispatch
+    (lax.scan over loader pairs) and one epoch of 6 items still advances
+    iter_idx to 6, logs, and checkpoints."""
+    from animatablegaussians_tpu.training.driver import AvatarTrainer
+
+    data_dir, smpl_path = full_capture
+    opt = _make_opt(data_dir, smpl_path, str(tmp_path / "ckpt_scan"))
+    opt["train"]["scan_steps"] = 2
+    trainer = AvatarTrainer(opt)
+    assert trainer.scan_steps == 2
+    trainer.train(num_epochs=1)
+    assert trainer.iter_idx == 6
+    assert os.path.exists(os.path.join(trainer.net_ckpt_dir, "epoch_latest",
+                                       "state.npz"))
+    assert os.path.exists(os.path.join(trainer.net_ckpt_dir, "loss.txt"))
