@@ -67,11 +67,71 @@ def _cast_act(*xs):
     return out if len(out) > 1 else out[0]
 
 
+# Opt-in custom weight-gradient lowering for stride-1 convs: XLA-TPU
+# represents dW as a conv whose FILTER is the full-res cotangent, which the
+# conv emitter cannot tile onto the MXU for large spatial extents (it falls
+# back to multiply+reduce fusions). The custom path computes dW as k*k
+# shifted (ci, N*H*W) @ (N*H*W, co) matmuls — clean MXU work — and dx as the
+# standard flipped-kernel correlation. Enable with set_conv_mmgrad(True)
+# after measuring on the target backend; numerics are pinned by
+# tests/test_styleunet.py::test_conv_mmgrad_matches_autodiff.
+CONV_MMGRAD = False
+
+
+def set_conv_mmgrad(on: bool):
+    global CONV_MMGRAD
+    CONV_MMGRAD = bool(on)
+
+
+def _conv_s1(x, w, padding):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_prec())
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_s1_mmgrad(x, w, padding):
+    return _conv_s1(x, w, padding)
+
+
+def _conv_s1_mm_fwd(x, w, padding):
+    return _conv_s1(x, w, padding), (x, w)
+
+
+def _conv_s1_mm_bwd(padding, res, g):
+    x, w = res
+    kh, kw = w.shape[0], w.shape[1]
+    (pt, pb), (pl, pr) = padding
+    # dx: full correlation of g with the spatially flipped, io-transposed
+    # kernel (pad so output matches x's extent)
+    dx = jax.lax.conv_general_dilated(
+        g, jnp.flip(w, (0, 1)).swapaxes(2, 3), (1, 1),
+        ((kh - 1 - pt, kh - 1 - pb), (kw - 1 - pl, kw - 1 - pr)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_prec())
+    # dW[a, b] = X_shifted(a, b)^T @ g over the flattened (N, H, W) rows
+    n, ho, wo, co = g.shape
+    ci = x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+    g2 = g.reshape(n * ho * wo, co)
+    taps = []
+    for a in range(kh):
+        for b in range(kw):
+            xs = xp[:, a:a + ho, b:b + wo, :].reshape(n * ho * wo, ci)
+            taps.append(jnp.dot(xs.T, g2, precision=_prec()))
+    dw = jnp.stack(taps).reshape(kh, kw, ci, co)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+_conv_s1_mmgrad.defvjp(_conv_s1_mm_fwd, _conv_s1_mm_bwd)
+
+
 def conv2d(x, w, stride=1, padding=0):
     """NHWC x HWIO correlation, matching torch.conv2d semantics."""
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     x, w = _cast_act(x, w)
+    if stride == 1 and CONV_MMGRAD:
+        return _conv_s1_mmgrad(x, w, padding)
     return jax.lax.conv_general_dilated(
         x, w, (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_prec())

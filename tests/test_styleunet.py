@@ -158,3 +158,33 @@ def test_dual_styleunet_grads(small_net):
     # styled conv weights receive gradient
     gw = np.asarray(g["convs1"][0]["conv"]["weight"])
     assert np.abs(gw).max() > 0
+
+
+def test_conv_mmgrad_matches_autodiff():
+    """The matmul-lowered weight/input gradients (set_conv_mmgrad) must
+    match plain jax.grad through the stock conv for every (stride-1)
+    padding used in the nets."""
+    import numpy as np
+    from animatablegaussians_tpu.models import styleunet as su
+
+    rng = np.random.default_rng(0)
+    for k, pad in ((3, 1), (1, 0), (3, 0)):
+        x = jnp.asarray(rng.normal(size=(2, 10, 12, 5)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, k, 5, 7)).astype(np.float32))
+        probe = jnp.asarray(rng.normal(
+            size=(2, 10 - k + 1 + 2 * pad, 12 - k + 1 + 2 * pad,
+                  7)).astype(np.float32))
+
+        def loss(x, w):
+            return jnp.sum(su.conv2d(x, w, padding=pad) * probe)
+
+        gx0, gw0 = jax.grad(loss, argnums=(0, 1))(x, w)
+        su.set_conv_mmgrad(True)
+        try:
+            gx1, gw1 = jax.grad(loss, argnums=(0, 1))(x, w)
+        finally:
+            su.set_conv_mmgrad(False)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
+                                   rtol=1e-5, atol=1e-4)
