@@ -44,6 +44,52 @@ class SMPLXData:
     right_hand_mean: jnp.ndarray # (45,)
     parents: np.ndarray = dataclasses.field(metadata=dict(static=True))
     faces: np.ndarray = dataclasses.field(metadata=dict(static=True))
+    # face landmark embedding (present in real SMPL-X/FLAME archives;
+    # ref: smplx/body_models.py:1000-1027): 51 static face landmarks as
+    # (face id, barycentric) pairs plus the 79-row dynamic contour LUT
+    lmk_faces_idx: Optional[jnp.ndarray] = None          # (L,) int
+    lmk_bary_coords: Optional[jnp.ndarray] = None        # (L, 3)
+    dynamic_lmk_faces_idx: Optional[jnp.ndarray] = None  # (79, 17) int
+    dynamic_lmk_bary_coords: Optional[jnp.ndarray] = None  # (79, 17, 3)
+
+
+def _kin_chain(joint_id: int, parents) -> list:
+    """Joint ids from ``joint_id`` up to the root, inclusive
+    (ref: smplx/utils.py:92-98; our parents[0] sentinel is 0, not -1)."""
+    chain, cur = [], int(joint_id)
+    while True:
+        chain.append(cur)
+        if cur == 0:
+            break
+        cur = int(parents[cur])
+    return chain
+
+
+def _extend_joints(joints, verts, full_pose, data: SMPLXData,
+                   extra_joints_idxs, neck_kin_chain,
+                   use_face_contour: bool):
+    """The reference's full joints contract: LBS joints ++ extra vertex
+    joints ++ face landmarks (static, plus the dynamic contour when enabled)
+    (ref: smplx/body_models.py:1241-1267)."""
+    from .lbs import find_dynamic_lmk_idx_and_bcoords, vertices2landmarks
+    if extra_joints_idxs is not None:
+        joints = jnp.concatenate(
+            [joints, verts[:, jnp.asarray(extra_joints_idxs)]], axis=1)
+    if data.lmk_faces_idx is not None:
+        B = verts.shape[0]
+        lmk_f = jnp.broadcast_to(data.lmk_faces_idx[None],
+                                 (B,) + data.lmk_faces_idx.shape)
+        lmk_b = jnp.broadcast_to(data.lmk_bary_coords[None],
+                                 (B,) + data.lmk_bary_coords.shape)
+        if use_face_contour:
+            dyn_f, dyn_b = find_dynamic_lmk_idx_and_bcoords(
+                full_pose, data.dynamic_lmk_faces_idx,
+                data.dynamic_lmk_bary_coords, neck_kin_chain)
+            lmk_f = jnp.concatenate([lmk_f, dyn_f], axis=1)
+            lmk_b = jnp.concatenate([lmk_b, dyn_b], axis=1)
+        landmarks = vertices2landmarks(verts, data.faces, lmk_f, lmk_b)
+        joints = jnp.concatenate([joints, landmarks], axis=1)
+    return joints
 
 
 class SMPLX:
@@ -53,8 +99,20 @@ class SMPLX:
     use_pca, flat_hand_mean (ref: smplx/body_models.py:975-1007).
     """
 
+    NECK_IDX = 12  # ref: smplx/body_models.py:900
+
     def __init__(self, data: SMPLXData, num_pca_comps: int = 6,
-                 use_pca: bool = True, flat_hand_mean: bool = False):
+                 use_pca: bool = True, flat_hand_mean: bool = False,
+                 vertex_ids=None, use_hands: bool = True,
+                 use_feet_keypoints: bool = True,
+                 use_face_contour: bool = False):
+        """``vertex_ids``: dict or VERTEX_IDS key ("smplx") enabling the
+        extra landmark joints appended after the LBS joints (nose/eyes/ears,
+        feet, finger tips; ref: smplx/vertex_joint_selector.py) plus the
+        face landmarks when the model data carries the embedding — the
+        reference's full ``joints`` output contract
+        (ref: smplx/body_models.py:1264-1267). None keeps the bare 55-joint
+        LBS output (the avatar pipeline's contract for synthetic models)."""
         self.data = data
         self.use_pca = use_pca
         self.num_pca_comps = num_pca_comps
@@ -62,6 +120,16 @@ class SMPLX:
         self.num_joints = int(data.J_regressor.shape[0])
         self.num_verts = int(data.v_template.shape[0])
         self.faces = data.faces
+        self.use_face_contour = use_face_contour
+        self.extra_joints_idxs = None
+        if vertex_ids is not None:
+            from .vertex_ids import VERTEX_IDS, extra_joints_indices
+            if isinstance(vertex_ids, str):
+                vertex_ids = VERTEX_IDS[vertex_ids]
+            self.extra_joints_idxs = extra_joints_indices(
+                vertex_ids, use_hands=use_hands,
+                use_feet_keypoints=use_feet_keypoints)
+        self.neck_kin_chain = _kin_chain(self.NECK_IDX, data.parents)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -96,9 +164,24 @@ class SMPLX:
             right_hand_mean=f32("hands_meanr"),
             parents=np.asarray(raw["kintree_table"])[0].astype(np.int64),
             faces=np.asarray(raw["f"], dtype=np.int64),
+            # face landmark embedding ships in real SMPL-X archives only
+            **({"lmk_faces_idx": jnp.asarray(
+                    np.asarray(raw["lmk_faces_idx"], np.int32)),
+                "lmk_bary_coords": f32("lmk_bary_coords")}
+               if "lmk_faces_idx" in raw else {}),
+            **({"dynamic_lmk_faces_idx": jnp.asarray(
+                    np.asarray(raw["dynamic_lmk_faces_idx"], np.int32)),
+                "dynamic_lmk_bary_coords": f32("dynamic_lmk_bary_coords")}
+               if "dynamic_lmk_faces_idx" in raw else {}),
         )
         # root parent sentinel (uint32 -1) -> 0
         data.parents[0] = 0
+        if "vertex_ids" not in kw:
+            # the extra landmark joints exist only on the real SMPL-X
+            # topology; synthetic/dev models keep the bare 55-joint contract
+            from .vertex_ids import VERTEX_IDS
+            if data.v_template.shape[0] > max(VERTEX_IDS["smplx"].values()):
+                kw["vertex_ids"] = "smplx"
         return SMPLX(data, **kw)
 
     # ------------------------------------------------------------------
@@ -166,6 +249,10 @@ class SMPLX:
             shape_components, full_pose, self.data.v_template, shapedirs,
             self.data.posedirs, self.data.J_regressor, self.data.parents,
             self.data.lbs_weights)
+
+        joints = _extend_joints(joints, verts, full_pose, self.data,
+                                self.extra_joints_idxs, self.neck_kin_chain,
+                                self.use_face_contour)
 
         if transl is not None:
             verts = verts + transl[:, None]
@@ -281,3 +368,159 @@ class MANO:
             A = A.at[:, :, :3, 3].add(transl[:, None])
         return dict(vertices=verts, joints=joints, A=A,
                     full_pose=full_pose)
+
+
+class SMPLH:
+    """SMPL+H: SMPL body with MANO hands — 52 LBS joints (1 global + 21 body
+    + 30 hand), PCA hand pose space, optional extra landmark joints
+    (ref: smplx/body_models.py:502-755)."""
+
+    NUM_BODY_JOINTS = 21
+    NUM_JOINTS = NUM_BODY_JOINTS + 2 * HAND_JOINTS + 1
+
+    def __init__(self, data: SMPLXData, num_pca_comps: int = 6,
+                 use_pca: bool = True, flat_hand_mean: bool = False,
+                 vertex_ids=None, use_hands: bool = True,
+                 use_feet_keypoints: bool = True):
+        self.data = data
+        self.use_pca = use_pca
+        self.num_pca_comps = num_pca_comps
+        self.flat_hand_mean = flat_hand_mean
+        self.num_joints = int(data.J_regressor.shape[0])
+        self.num_verts = int(data.v_template.shape[0])
+        self.faces = data.faces
+        self.extra_joints_idxs = None
+        if vertex_ids is not None:
+            from .vertex_ids import VERTEX_IDS, extra_joints_indices
+            if isinstance(vertex_ids, str):
+                vertex_ids = VERTEX_IDS[vertex_ids]
+            self.extra_joints_idxs = extra_joints_indices(
+                vertex_ids, use_hands=use_hands,
+                use_feet_keypoints=use_feet_keypoints)
+
+    def pose_mean(self) -> jnp.ndarray:
+        """156-dim additive pose mean (zeros except the hand means;
+        ref: smplx/body_models.py:666-676)."""
+        zeros = jnp.zeros(3 + self.NUM_BODY_JOINTS * 3, dtype=jnp.float32)
+        if self.flat_hand_mean:
+            hands = jnp.zeros(90, dtype=jnp.float32)
+        else:
+            hands = jnp.concatenate([self.data.left_hand_mean,
+                                     self.data.right_hand_mean])
+        return jnp.concatenate([zeros, hands])
+
+    def __call__(self, betas, global_orient=None, body_pose=None,
+                 left_hand_pose=None, right_hand_pose=None, transl=None):
+        B = betas.shape[0]
+
+        def dflt(x, dim):
+            return jnp.zeros((B, dim), jnp.float32) if x is None else x
+
+        global_orient = dflt(global_orient, 3)
+        body_pose = dflt(body_pose, self.NUM_BODY_JOINTS * 3)
+        hp_dim = self.num_pca_comps if self.use_pca else 45
+        left_hand_pose = dflt(left_hand_pose, hp_dim)
+        right_hand_pose = dflt(right_hand_pose, hp_dim)
+        if self.use_pca:
+            left_hand_pose = left_hand_pose @ \
+                self.data.left_hand_components[:self.num_pca_comps]
+            right_hand_pose = right_hand_pose @ \
+                self.data.right_hand_components[:self.num_pca_comps]
+        full_pose = jnp.concatenate(
+            [global_orient.reshape(B, 3),
+             body_pose.reshape(B, self.NUM_BODY_JOINTS * 3),
+             left_hand_pose.reshape(B, 45),
+             right_hand_pose.reshape(B, 45)], axis=1)
+        full_pose = full_pose + self.pose_mean()[None]
+
+        verts, joints, A = lbs(
+            betas, full_pose, self.data.v_template, self.data.shapedirs,
+            self.data.posedirs, self.data.J_regressor, self.data.parents,
+            self.data.lbs_weights)
+        if self.extra_joints_idxs is not None:
+            joints = jnp.concatenate(
+                [joints, verts[:, jnp.asarray(self.extra_joints_idxs)]],
+                axis=1)
+        if transl is not None:
+            verts = verts + transl[:, None]
+            joints = joints + transl[:, None]
+            A = A.at[:, :, :3, 3].add(transl[:, None])
+        return dict(vertices=verts, joints=joints, A=A, full_pose=full_pose)
+
+    @staticmethod
+    def from_npz(path: str, num_betas: int = 10, **kw) -> "SMPLH":
+        raw = np.load(path, allow_pickle=True)
+        f32 = lambda k: jnp.asarray(np.asarray(raw[k], dtype=np.float32))
+        sd = np.asarray(raw["shapedirs"], np.float32)
+        pd = np.asarray(raw["posedirs"], np.float32)
+        if pd.ndim == 3:
+            pd = pd.reshape(-1, pd.shape[-1]).T
+        V = raw["v_template"].shape[0]
+        data = SMPLXData(
+            v_template=f32("v_template"),
+            shapedirs=jnp.asarray(sd[..., :num_betas]),
+            expr_dirs=jnp.zeros((V, 3, 0), jnp.float32),
+            posedirs=jnp.asarray(pd),
+            J_regressor=f32("J_regressor"),
+            lbs_weights=f32("weights"),
+            left_hand_components=f32("hands_componentsl"),
+            right_hand_components=f32("hands_componentsr"),
+            left_hand_mean=f32("hands_meanl"),
+            right_hand_mean=f32("hands_meanr"),
+            parents=np.asarray(raw["kintree_table"])[0].astype(np.int64),
+            faces=np.asarray(raw["f"], dtype=np.int64),
+        )
+        data.parents[0] = 0
+        if "vertex_ids" not in kw:
+            from .vertex_ids import VERTEX_IDS
+            if V > max(VERTEX_IDS["smplh"].values()):
+                kw["vertex_ids"] = "smplh"
+        return SMPLH(data, **kw)
+
+
+class FLAME:
+    """Head-only FLAME: 5 LBS joints (global, neck, jaw, two eyes), shape +
+    expression space, face landmarks incl. the dynamic contour LUT; no extra
+    vertex joints (the reference empties the selector,
+    ref: smplx/body_models.py:1771-2133)."""
+
+    NUM_JOINTS = 5
+    NECK_IDX = 0  # ref: smplx/body_models.py:1775
+
+    def __init__(self, data: SMPLXData, use_face_contour: bool = False):
+        self.data = data
+        self.num_joints = int(data.J_regressor.shape[0])
+        self.num_verts = int(data.v_template.shape[0])
+        self.faces = data.faces
+        self.use_face_contour = use_face_contour
+        self.neck_kin_chain = _kin_chain(self.NECK_IDX, data.parents)
+
+    def __call__(self, betas, global_orient=None, neck_pose=None,
+                 jaw_pose=None, leye_pose=None, reye_pose=None,
+                 expression=None, transl=None):
+        B = betas.shape[0]
+
+        def dflt(x, dim):
+            return jnp.zeros((B, dim), jnp.float32) if x is None else x
+
+        full_pose = jnp.concatenate(
+            [dflt(p, 3).reshape(B, 3) for p in
+             (global_orient, neck_pose, jaw_pose, leye_pose, reye_pose)],
+            axis=1)
+        expression = dflt(expression, self.data.expr_dirs.shape[-1])
+        shape_components = jnp.concatenate([betas, expression], axis=-1)
+        shapedirs = jnp.concatenate(
+            [self.data.shapedirs, self.data.expr_dirs], axis=-1)
+
+        verts, joints, A = lbs(
+            shape_components, full_pose, self.data.v_template, shapedirs,
+            self.data.posedirs, self.data.J_regressor, self.data.parents,
+            self.data.lbs_weights)
+        joints = _extend_joints(joints, verts, full_pose, self.data,
+                                None, self.neck_kin_chain,
+                                self.use_face_contour)
+        if transl is not None:
+            verts = verts + transl[:, None]
+            joints = joints + transl[:, None]
+            A = A.at[:, :, :3, 3].add(transl[:, None])
+        return dict(vertices=verts, joints=joints, A=A, full_pose=full_pose)

@@ -114,3 +114,53 @@ def lbs(
                         precision=jax.lax.Precision.HIGHEST)
              + T[:, :, :3, 3])
     return verts, posed_joints, A
+
+
+def vertices2landmarks(
+    vertices: jnp.ndarray,        # (B, V, 3)
+    faces: np.ndarray,            # (F, 3) int
+    lmk_faces_idx: jnp.ndarray,   # (B, L) int face index per landmark
+    lmk_bary_coords: jnp.ndarray  # (B, L, 3) barycentric weights
+) -> jnp.ndarray:
+    """Barycentric face-point landmarks (ref: smplx/lbs.py:108-149).
+    Returns (B, L, 3)."""
+    faces = jnp.asarray(faces, jnp.int32)
+    lmk_faces = faces[lmk_faces_idx]                  # (B, L, 3) vertex ids
+    lmk_verts = jax.vmap(lambda v, f: v[f])(vertices, lmk_faces)  # (B,L,3,3)
+    return jnp.einsum("blfc,blf->blc", lmk_verts, lmk_bary_coords,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def rot_mat_to_euler(rot_mats: jnp.ndarray) -> jnp.ndarray:
+    """Y euler angle of (..., 3, 3) rotations (ref: smplx/utils.py:122-128)."""
+    sy = jnp.sqrt(rot_mats[..., 0, 0] ** 2 + rot_mats[..., 1, 0] ** 2)
+    return jnp.arctan2(-rot_mats[..., 2, 0], sy)
+
+
+def find_dynamic_lmk_idx_and_bcoords(
+    pose: jnp.ndarray,                 # (B, J*3) axis-angle full pose
+    dynamic_lmk_faces_idx: jnp.ndarray,   # (79, L_dyn) LUT rows by neck angle
+    dynamic_lmk_bary_coords: jnp.ndarray, # (79, L_dyn, 3)
+    neck_kin_chain,                    # static list of joint ids, leaf->root
+) -> tuple:
+    """Face-contour landmark LUT selection from the neck's global y rotation
+    (ref: smplx/lbs.py:30-105). Pure gather math — LUT rows are selected per
+    batch element with a jit-friendly integer clamp chain identical to the
+    reference's mask arithmetic. Returns ((B, L_dyn) faces, (B, L_dyn, 3)
+    barycentrics)."""
+    B = pose.shape[0]
+    aa = pose.reshape(B, -1, 3)[:, np.asarray(neck_kin_chain)]
+    rot_mats = batch_rodrigues(aa)                    # (B, C, 3, 3)
+    rel = jnp.broadcast_to(jnp.eye(3, dtype=rot_mats.dtype), (B, 3, 3))
+    for i in range(len(neck_kin_chain)):
+        rel = jnp.matmul(rot_mats[:, i], rel,
+                         precision=jax.lax.Precision.HIGHEST)
+    y_rot_angle = jnp.round(
+        jnp.clip(-rot_mat_to_euler(rel) * 180.0 / np.pi,
+                 max=39)).astype(jnp.int32)
+    neg_mask = (y_rot_angle < 0).astype(jnp.int32)
+    mask = (y_rot_angle < -39).astype(jnp.int32)
+    neg_vals = mask * 78 + (1 - mask) * (39 - y_rot_angle)
+    y_rot_angle = neg_mask * neg_vals + (1 - neg_mask) * y_rot_angle
+    return (dynamic_lmk_faces_idx[y_rot_angle],
+            dynamic_lmk_bary_coords[y_rot_angle])

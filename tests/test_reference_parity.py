@@ -408,3 +408,163 @@ def test_style_generator_matches_reference(ref_modules):
     np.testing.assert_allclose(our_img, ref_img, atol=2e-4,
                                err_msg="StyleGenerator diverges from the "
                                        "torch reference")
+
+
+def test_vertex_joint_selector_matches_reference(ref_modules):
+    """Extra landmark joints (nose/eyes/ears, feet, finger tips) appended
+    after the LBS joints vs smplx/vertex_joint_selector.py, on both a
+    synthetic small-index table and the real 'smplx' table."""
+    ref_smplx, _ = ref_modules
+    from animatablegaussians_tpu.models.smplx import (VERTEX_IDS,
+                                                      extra_joints_indices)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    for vids, V in [({k: int(v) for k, v in
+                      zip(VERTEX_IDS["smplx"],
+                          rng.integers(0, 60, len(VERTEX_IDS["smplx"])))},
+                     60),
+                    (VERTEX_IDS["smplx"], 10475)]:
+        verts = rng.standard_normal((2, V, 3)).astype(np.float32)
+        joints = rng.standard_normal((2, 55, 3)).astype(np.float32)
+        sel = ref_smplx.vertex_joint_selector.VertexJointSelector(
+            vertex_ids=vids)
+        with torch.no_grad():
+            want = sel(torch.from_numpy(verts),
+                       torch.from_numpy(joints)).numpy()
+        idxs = extra_joints_indices(vids)
+        got = np.concatenate([joints, verts[:, idxs]], axis=1)
+        np.testing.assert_allclose(got, want, atol=0)
+        assert got.shape[1] == 55 + 21
+
+
+def test_face_landmarks_match_reference(ref_modules):
+    """Static + dynamic-contour face landmarks vs smplx/lbs.py
+    vertices2landmarks / find_dynamic_lmk_idx_and_bcoords on a synthetic
+    mesh, LUT, and neck chain."""
+    ref_smplx, _ = ref_modules
+    from animatablegaussians_tpu.models.smplx import (
+        find_dynamic_lmk_idx_and_bcoords, vertices2landmarks)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(8)
+    B, V, F, L, LD, J = 3, 90, 50, 12, 17, 55
+    verts = rng.standard_normal((B, V, 3)).astype(np.float32)
+    faces = rng.integers(0, V, (F, 3)).astype(np.int64)
+    lmk_f = rng.integers(0, F, (L,)).astype(np.int64)
+    lmk_b = rng.random((L, 3)).astype(np.float32)
+    dyn_f = rng.integers(0, F, (79, LD)).astype(np.int64)
+    dyn_b = rng.random((79, LD, 3)).astype(np.float32)
+    # poses spanning positive/negative/extreme neck rotations (the LUT's
+    # three index regimes)
+    pose = np.zeros((B, J * 3), np.float32)
+    pose[0, 12 * 3 + 1] = 0.4    # neck +y
+    pose[1, 12 * 3 + 1] = -0.9   # neck -y
+    pose[2, 9 * 3 + 1] = -2.2    # spine3 extreme (< -39 deg regime)
+    neck_chain = [12, 9, 6, 3, 0]
+
+    t = torch.from_numpy
+    with torch.no_grad():
+        want_df, want_db = ref_smplx.lbs.find_dynamic_lmk_idx_and_bcoords(
+            t(verts), t(pose), t(dyn_f), t(dyn_b),
+            torch.tensor(neck_chain, dtype=torch.long))
+        lf = t(lmk_f)[None].expand(B, -1)
+        lb = t(lmk_b)[None].expand(B, -1, -1)
+        lf = torch.cat([lf, want_df], 1)
+        lb = torch.cat([lb, want_db], 1)
+        want = ref_smplx.lbs.vertices2landmarks(
+            t(verts), t(faces), lf.contiguous(), lb).numpy()
+
+    got_df, got_db = find_dynamic_lmk_idx_and_bcoords(
+        jnp.asarray(pose), jnp.asarray(dyn_f), jnp.asarray(dyn_b),
+        neck_chain)
+    np.testing.assert_array_equal(np.asarray(got_df), want_df.numpy())
+    np.testing.assert_allclose(np.asarray(got_db), want_db.numpy(),
+                               atol=1e-6)
+    gf = jnp.concatenate([jnp.broadcast_to(jnp.asarray(lmk_f)[None],
+                                           (B, L)), got_df], axis=1)
+    gb = jnp.concatenate([jnp.broadcast_to(jnp.asarray(lmk_b)[None],
+                                           (B, L, 3)), got_db], axis=1)
+    got = vertices2landmarks(jnp.asarray(verts), faces, gf, gb)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_smplh_forward_matches_reference(ref_modules):
+    """Full SMPL+H forward (PCA hands, pose mean, extra joints) vs the
+    reference SMPLH class fed the same synthetic data_struct
+    (ref: smplx/body_models.py:502-755)."""
+    ref_smplx, _ = ref_modules
+    from animatablegaussians_tpu.models.smplx import SMPLH, SMPLXData
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    V, J, NB = 120, 52, 10
+    parents = np.zeros(J, np.int64)
+    for j in range(1, J):
+        parents[j] = rng.integers(0, j)
+    kintree = np.stack([parents.copy(), np.arange(J)])
+    kintree[0, 0] = -1
+    struct_kw = dict(
+        v_template=rng.standard_normal((V, 3)).astype(np.float32),
+        shapedirs=0.03 * rng.standard_normal((V, 3, NB)).astype(np.float32),
+        posedirs=0.01 * rng.standard_normal(
+            (V, 3, (J - 1) * 9)).astype(np.float32),
+        J_regressor=(lambda w: w / w.sum(1, keepdims=True))(
+            rng.random((J, V)).astype(np.float32)),
+        weights=(lambda w: w / w.sum(1, keepdims=True))(
+            rng.random((V, J)).astype(np.float32)),
+        hands_componentsl=rng.standard_normal((6, 45)).astype(np.float32),
+        hands_componentsr=rng.standard_normal((6, 45)).astype(np.float32),
+        hands_meanl=0.1 * rng.standard_normal(45).astype(np.float32),
+        hands_meanr=0.1 * rng.standard_normal(45).astype(np.float32),
+        kintree_table=kintree,
+        f=rng.integers(0, V, (60, 3)).astype(np.int64),
+    )
+    vids = {k: int(v) for k, v in
+            zip(["nose", "reye", "leye", "rear", "lear", "rthumb", "rindex",
+                 "rmiddle", "rring", "rpinky", "lthumb", "lindex", "lmiddle",
+                 "lring", "lpinky", "LBigToe", "LSmallToe", "LHeel",
+                 "RBigToe", "RSmallToe", "RHeel"],
+                rng.integers(0, V, 21))}
+    Struct = ref_smplx.utils.Struct
+    ref_model = ref_smplx.SMPLH(
+        model_path="/nonexistent", data_struct=Struct(**struct_kw),
+        vertex_ids=vids, use_pca=True, num_pca_comps=6,
+        flat_hand_mean=False, batch_size=2)
+
+    betas = 0.4 * rng.standard_normal((2, NB)).astype(np.float32)
+    go = 0.3 * rng.standard_normal((2, 3)).astype(np.float32)
+    body = 0.2 * rng.standard_normal((2, 63)).astype(np.float32)
+    lh = 0.5 * rng.standard_normal((2, 6)).astype(np.float32)
+    rh = 0.5 * rng.standard_normal((2, 6)).astype(np.float32)
+    transl = rng.standard_normal((2, 3)).astype(np.float32)
+    t = torch.from_numpy
+    with torch.no_grad():
+        want = ref_model(betas=t(betas), global_orient=t(go),
+                         body_pose=t(body), left_hand_pose=t(lh),
+                         right_hand_pose=t(rh), transl=t(transl))
+
+    parents2 = parents.copy()
+    data = SMPLXData(
+        v_template=jnp.asarray(struct_kw["v_template"]),
+        shapedirs=jnp.asarray(struct_kw["shapedirs"]),
+        expr_dirs=jnp.zeros((V, 3, 0), jnp.float32),
+        posedirs=jnp.asarray(
+            struct_kw["posedirs"].reshape(V * 3, -1).T),
+        J_regressor=jnp.asarray(struct_kw["J_regressor"]),
+        lbs_weights=jnp.asarray(struct_kw["weights"]),
+        left_hand_components=jnp.asarray(struct_kw["hands_componentsl"]),
+        right_hand_components=jnp.asarray(struct_kw["hands_componentsr"]),
+        left_hand_mean=jnp.asarray(struct_kw["hands_meanl"]),
+        right_hand_mean=jnp.asarray(struct_kw["hands_meanr"]),
+        parents=parents2, faces=struct_kw["f"])
+    ours = SMPLH(data, num_pca_comps=6, use_pca=True, flat_hand_mean=False,
+                 vertex_ids=vids)
+    got = ours(jnp.asarray(betas), jnp.asarray(go), jnp.asarray(body),
+               jnp.asarray(lh), jnp.asarray(rh), transl=jnp.asarray(transl))
+
+    np.testing.assert_allclose(np.asarray(got["vertices"]),
+                               want.vertices.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got["joints"]),
+                               want.joints.numpy(), atol=2e-5)
+    assert got["joints"].shape == (2, 52 + 21, 3)
