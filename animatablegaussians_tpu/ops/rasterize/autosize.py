@@ -113,7 +113,13 @@ def pick_caps(stats: BinningStats, margin: float = 1.5,
     """Static caps covering the measured workload with margin. k_max rounds
     up to the Pallas blend's 128-lane blocks; max_dup to a power of two.
     ``ragged`` sizes the flat chunked layout (binning.RaggedBins) instead of
-    the per-tile k_max rectangle; None inherits base.n_chunks > 0."""
+    the per-tile k_max rectangle; None auto-picks by padded slot count —
+    rect pads every active tile to the frame's max per-tile count, so one
+    dense tile multiplies the whole (A, 16, K) gather/blend/scatter volume
+    (at trained avatar scale that is ~5x the true pair count and 12x slower
+    end-to-end, measured on v5e), while the ragged layout wastes at most one
+    chunk per tile. Rect is kept only when it is within 20% of the ragged
+    slot count (small/uniform scenes, where its simpler indexing wins)."""
     def round_up(v, m):
         return max(m, -(-v // m) * m)
 
@@ -122,15 +128,15 @@ def pick_caps(stats: BinningStats, margin: float = 1.5,
         md *= 2
     k_max = round_up(int(stats.max_per_tile * margin), 128)
     a = round_up(int(stats.n_active_tiles * margin), 256)
-    if ragged is None:
-        ragged = base.n_chunks > 0
     kb = base.chunk_kb
+    # chunks(kb) <= ceil(n_pairs/kb) + n_active_tiles (each tile wastes
+    # under one chunk of padding); exact for kb=128 from the count pass
+    bound = -(-stats.n_pairs // kb) + stats.n_active_tiles
+    if kb == 128:
+        bound = min(bound, stats.n_chunks)
+    if ragged is None:
+        ragged = a * k_max > 1.2 * bound * kb
     if ragged:
-        # chunks(kb) <= ceil(n_pairs/kb) + n_active_tiles (each tile wastes
-        # under one chunk of padding); exact for kb=128 from the count pass
-        bound = -(-stats.n_pairs // kb) + stats.n_active_tiles
-        if kb == 128:
-            bound = min(bound, stats.n_chunks)
         n_chunks = round_up(int(bound * margin), 64)
     else:
         n_chunks = 0
