@@ -135,7 +135,11 @@ def pick_caps(stats: BinningStats, margin: float = 1.5,
     if kb == 128:
         bound = min(bound, stats.n_chunks)
     if ragged is None:
-        ragged = a * k_max > 1.2 * bound * kb
+        # off-TPU the only ragged path is interpret-mode pallas, whose
+        # compile is pathologically slow — auto-pick it only where it runs
+        # native (forcing ragged=True stays available everywhere)
+        ragged = (jax.default_backend() == "tpu"
+                  and a * k_max > 1.2 * bound * kb)
     if ragged:
         n_chunks = round_up(int(bound * margin), 64)
     else:

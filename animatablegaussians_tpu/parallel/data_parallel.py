@@ -84,5 +84,48 @@ def make_dp_train_step(step_fn, mesh: Mesh, axis: str = AXIS):
         donate_argnums=(0,))
 
 
+def make_dp_train_scan(step_fn, mesh: Mesh, axis: str = AXIS):
+    """scan_steps composed with data parallelism: ONE dispatch runs
+    ``n_steps`` sequential optimizer steps, each step consuming
+    ``n_devices`` examples in parallel (grads pmean-ed inside ``step_fn``,
+    which must be built with ``make_train_step(..., axis_name=axis)``).
+    This is the v5p-8 production configuration: the scan amortizes the
+    per-execute dispatch overhead that the DP step alone still pays once
+    per optimizer step (measured ms-scale on axon, BASELINE.md).
+
+        dp_scan(state, items_batch, rngs) -> (state, terms)
+
+    ``items_batch`` leaves are (n_devices, n_steps, ...) sharded on the
+    device axis; ``rngs`` is (n_devices, n_steps) keys. ``terms`` come back
+    stacked along a leading (n_steps,) axis (replicated across devices),
+    matching make_train_scan_batched.
+    """
+
+    def shard_body(state, items, rngs):
+        local_items = jax.tree.map(lambda x: x[0], items)  # (n_steps, ...)
+        local_rngs = rngs[0]
+
+        def body(s, xk):
+            it, k = xk
+            return step_fn(s, it, k)
+
+        return jax.lax.scan(body, state, (local_items, local_rngs))
+
+    specs = dict(mesh=mesh, in_specs=(P(), P(axis), P(axis)),
+                 out_specs=(P(), P()))
+    try:
+        sharded = shard_map(shard_body, check_vma=False, **specs)
+    except TypeError:  # older jax spelling
+        sharded = shard_map(shard_body, check_rep=False, **specs)
+
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        sharded,
+        in_shardings=(repl, NamedSharding(mesh, P(axis)),
+                      NamedSharding(mesh, P(axis))),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,))
+
+
 def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, NamedSharding(mesh, P()))

@@ -31,6 +31,12 @@ import optax
 from animatablegaussians_tpu.training import losses as L
 from animatablegaussians_tpu.training.lpips import lpips as lpips_fn
 
+# material-overflow threshold: dropped (gaussian, tile) pairs as a fraction
+# of the frame's true pair count above which a step's gradients count as
+# cropped — the step is discarded and the driver re-autosizes (never-drop
+# parity with the CUDA reference, rasterizer_impl.cu:281-286)
+OVERFLOW_TOL = 0.001
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -222,7 +228,19 @@ def make_train_step(avatar_net, optimizer, *, loss_weight: dict,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.iter_idx + 1), terms
+        new_state = TrainState(params, opt_state, state.iter_idx + 1)
+        if "n_overflow" in terms:
+            # Never train on cropped gradients: if the static binning caps
+            # materially overflowed (the CUDA reference can't, it sizes
+            # buffers per frame — rasterizer_impl.cu:278-309), discard the
+            # whole update (params, adam moments, iter) so the driver can
+            # re-autosize, recompile, and re-run this item losslessly
+            # (training/driver.py overflow self-healing). Never taken in
+            # normal operation — autosize covers the workload with margin.
+            bad = terms["n_overflow"] > OVERFLOW_TOL * terms["n_pairs"]
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(bad, old, new), new_state, state)
+        return new_state, terms
 
     if axis_name is not None or not jit:
         return step  # caller wraps in shard_map/jit/scan

@@ -78,11 +78,11 @@ class AvatarTrainer:
         # answer is to measure the subject's canonical-init workload over
         # sample frames and compile with covering caps. Drift past the
         # margin at train time trips the loud n_overflow warning below.
+        self._autosize_kw = dict(
+            margin=float(opt.get("model", {}).get("autosize_margin", 1.5)),
+            ragged=opt.get("model", {}).get("raster_ragged", None))
         if opt.get("model", {}).get("autosize_raster", True):
-            self._autosize_raster(
-                margin=float(opt.get("model", {}).get(
-                    "autosize_margin", 1.5)),
-                ragged=opt.get("model", {}).get("raster_ragged", None))
+            self._autosize_raster(**self._autosize_kw)
 
         self.optimizer = at.make_optimizer(
             self.lr_init, self.ITER_NUM, finetune_color=self.finetune_color)
@@ -105,23 +105,51 @@ class AvatarTrainer:
                        lpips_params=self.lpips_params,
                        random_bg_color=self.random_bg_color,
                        patch_size=self.PATCH_SIZE, img_w=img_w, img_h=img_h)
-        self.scan_steps = 1
+        # scan_steps > 1: compile N sequential steps into one program
+        # (one dispatch per N optimizer steps; material when per-execute
+        # overhead is — see bench.py --scan). 1 = classic per-step
+        # dispatch. Composes with DP: the scan runs inside the shard_map
+        # body, so one dispatch covers N steps x n_devices examples.
+        self.scan_steps = int(self.opt["train"].get("scan_steps", 1))
+        if self.use_dp and self.scan_steps > 1:
+            # the loader drops incomplete batches; a scan needs
+            # n_devices * scan_steps items per dispatch
+            max_scan = max(1, len(self.dataset) // self.n_devices)
+            if self.scan_steps > max_scan:
+                print(f"# scan_steps {self.scan_steps} -> {max_scan} "
+                      f"(dataset of {len(self.dataset)} items over "
+                      f"{self.n_devices} devices)")
+                self.scan_steps = max_scan
+        self._step_kw = step_kw
+        self.mesh = None
         if self.use_dp:
             from animatablegaussians_tpu.parallel import data_parallel as dp
             self.mesh = dp.make_mesh()
+        self._build_train_step()
+        self.pretrain_step = at.make_pretrain_step(
+            self.avatar_net,
+            at.make_optimizer(5e-4, self.PRETRAIN_ITERS))
+
+    def _build_train_step(self):
+        """(Re)compile the train step against the net's CURRENT raster
+        config — called at init and by the overflow self-healing path."""
+        step_kw = self._step_kw
+        if self.use_dp:
+            from animatablegaussians_tpu.parallel import data_parallel as dp
             per_example = at.make_train_step(
                 self.avatar_net, self.optimizer, axis_name=dp.AXIS,
                 **step_kw)
-            self.train_step = dp.make_dp_train_step(per_example, self.mesh)
-            print(f"# Data-parallel over {self.n_devices} devices "
-                  f"(per-chip batch 1, grad pmean)")
+            if self.scan_steps > 1:
+                self.train_step = dp.make_dp_train_scan(per_example,
+                                                        self.mesh)
+                print(f"# Data-parallel over {self.n_devices} devices x "
+                      f"lax.scan over {self.scan_steps} steps/dispatch")
+            else:
+                self.train_step = dp.make_dp_train_step(per_example,
+                                                        self.mesh)
+                print(f"# Data-parallel over {self.n_devices} devices "
+                      f"(per-chip batch 1, grad pmean)")
         else:
-            self.mesh = None
-            # scan_steps > 1: compile N sequential steps into one program
-            # (one dispatch per N optimizer steps; material when
-            # per-execute overhead is — see bench.py --scan). 1 = classic
-            # per-step dispatch.
-            self.scan_steps = int(self.opt["train"].get("scan_steps", 1))
             if self.scan_steps > 1:
                 self.train_step = at.make_train_scan_batched(
                     at.make_train_step(self.avatar_net, self.optimizer,
@@ -130,9 +158,6 @@ class AvatarTrainer:
             else:
                 self.train_step = at.make_train_step(
                     self.avatar_net, self.optimizer, **step_kw)
-        self.pretrain_step = at.make_pretrain_step(
-            self.avatar_net,
-            at.make_optimizer(5e-4, self.PRETRAIN_ITERS))
 
     @staticmethod
     def _build_net(data_dir: str, model_opt: dict):
@@ -156,20 +181,27 @@ class AvatarTrainer:
         return AvatarNet(model_opt, cano_map, lbs, cano_nml_map=nml)
 
     def _autosize_raster(self, n_sample: int = 4, margin: float = 1.5,
-                         ragged: bool | None = None):
+                         ragged: bool | None = None, extra_items=()):
         """Count-only pass over sample frames -> static caps (see
         ops/rasterize/autosize.py). Uses the net's actual init scales.
-        ``ragged`` (config key model.raster_ragged) switches to the flat
-        chunked layout with no per-tile cap (binning.RaggedBins)."""
+        ``ragged`` (config key model.raster_ragged) picks the binning
+        layout (None = auto by padded slot count). ``extra_items``: poses
+        that must also be covered (the overflow self-healing path feeds the
+        cap-busting item back in)."""
         from animatablegaussians_tpu.ops.rasterize import autosize as az
         n = len(self.dataset)
         idxs = sorted({int(i)
                        for i in np.linspace(0, n - 1, min(n_sample, n))})
         items = [self.dataset.getitem(i, training=True, skip_images=True)
                  for i in idxs]
+        items += list(extra_items)
+        # current trained canonical scales once a TrainState exists (the
+        # healing path); the init copy before that
+        params = self.state.params if hasattr(self, "state") else self.params
         cfg = az.autosize_for_avatar(
             self.avatar_net, items, self.img_w, self.img_h,
-            scales=jnp.exp(self.params["cano_gaussian"].scaling),
+            scales=jnp.exp(jnp.asarray(
+                jax.device_get(params["cano_gaussian"].scaling))),
             margin=margin, ragged=ragged)
         old = self.avatar_net.raster_config
         self.avatar_net.raster_config = cfg
@@ -177,6 +209,26 @@ class AvatarTrainer:
               f"{cfg.max_dup}, k_max {old.k_max}->{cfg.k_max}, "
               f"max_active_tiles {old.max_active_tiles}->"
               f"{cfg.max_active_tiles}, n_chunks {cfg.n_chunks}")
+
+    def _heal_overflow(self, batch):
+        """Never train on cropped gradients: the step that overflowed
+        discarded its own update (avatar_trainer.make_train_step gates on
+        OVERFLOW_TOL), so re-measure caps WITH the cap-busting pose folded
+        in, recompile the step, and let the caller re-run the same batch —
+        the TPU static-shape analogue of the CUDA reference's per-frame
+        dynamic buffer resize (ref: rasterizer_impl.cu:278-309)."""
+        need = ("cano2live_jnt_mats", "extr", "intr")
+        sub = {k: np.asarray(jax.device_get(batch[k])) for k in need}
+        lead = sub["cano2live_jnt_mats"].ndim - 3  # item mats are (J, 4, 4)
+        if lead:
+            flat = {k: v.reshape((-1,) + v.shape[lead:])
+                    for k, v in sub.items()}
+            items = [{k: v[i] for k, v in flat.items()}
+                     for i in range(len(flat["extr"]))]
+        else:
+            items = [sub]
+        self._autosize_raster(extra_items=items, **self._autosize_kw)
+        self._build_train_step()
 
     # ------------------------------------------------------------------
     def _items_to_device(self, item: dict) -> dict:
@@ -227,13 +279,20 @@ class AvatarTrainer:
             writer = None
         loss_txt = open(os.path.join(self.net_ckpt_dir, "loss.txt"), "a")
 
-        batch_size = self.n_devices if self.use_dp else self.scan_steps
+        batch_size = (self.n_devices * self.scan_steps if self.use_dp
+                      else self.scan_steps)
         if self.use_dp:
             from animatablegaussians_tpu.parallel import data_parallel as dp
             drop = {"img_w", "img_h", "item_idx", "data_idx", "smpl_faces",
                     "kin_parent"}
-            put = lambda b: dp.shard_batch(
-                self.mesh, {k: v for k, v in b.items() if k not in drop})
+            n_dev, n_scan = self.n_devices, self.scan_steps
+
+            def put(b):
+                b = {k: v for k, v in b.items() if k not in drop}
+                if n_scan > 1:   # (n_dev*n_scan, ...) -> (n_dev, n_scan, ...)
+                    b = {k: v.reshape((n_dev, n_scan) + v.shape[1:])
+                         for k, v in b.items()}
+                return dp.shard_batch(self.mesh, b)
             # params/opt state start on host (init / ckpt load / pretrain);
             # the jitted dp step's in_shardings replicate them on first call
             self.state = jax.device_get(self.state)
@@ -250,24 +309,62 @@ class AvatarTrainer:
         while self.iter_idx < self.ITER_NUM and epoch_idx < num_epochs:
             epoch_idx += 1
             for batch in loader:
-                if self.use_dp:
-                    rng, sub = jax.random.split(rng)
-                    rngs = jax.random.split(sub, self.n_devices)
-                    self.state, terms = self.train_step(self.state, batch,
-                                                        rngs)
-                elif self.scan_steps > 1:
-                    items = self._items_to_device(batch)  # keep (n,) axis
-                    rng, sub = jax.random.split(rng)
-                    keys = jax.random.split(sub, self.scan_steps)
-                    self.state, terms = self.train_step(self.state, items,
-                                                        keys)
+
+                def run_batch():
+                    nonlocal rng
+                    if self.use_dp:
+                        rng, sub = jax.random.split(rng)
+                        rngs = jax.random.split(
+                            sub, self.n_devices * self.scan_steps)
+                        if self.scan_steps > 1:
+                            rngs = rngs.reshape(self.n_devices,
+                                                self.scan_steps,
+                                                *rngs.shape[1:])
+                        self.state, terms = self.train_step(self.state,
+                                                            batch, rngs)
+                    elif self.scan_steps > 1:
+                        items = self._items_to_device(batch)  # (n,) axis
+                        rng, sub = jax.random.split(rng)
+                        keys = jax.random.split(sub, self.scan_steps)
+                        self.state, terms = self.train_step(self.state,
+                                                            items, keys)
+                    else:
+                        item = {k: v[0] for k, v in batch.items()}
+                        items = self._items_to_device(item)
+                        rng, step_rng = jax.random.split(rng)
+                        self.state, terms = self.train_step(self.state,
+                                                            items, step_rng)
+                    return terms
+
+                # Overflow self-healing: the step DISCARDS its own update
+                # when the static binning caps materially overflow (cropped
+                # image + cropped gradients; the CUDA reference never drops,
+                # rasterizer_impl.cu:281-286), so on detection re-autosize
+                # with the cap-busting pose folded in, recompile, and re-run
+                # the identical batch from the untouched state.
+                terms = run_batch()
+                of_frac = float(jnp.max(
+                    terms.get("n_overflow", jnp.zeros(()))
+                    / jnp.maximum(terms.get("n_pairs", jnp.ones(())), 1.0)))
+                if of_frac > at.OVERFLOW_TOL:
+                    print(f"WARNING: binning caps dropped "
+                          f"{100.0 * of_frac:.2f}% > "
+                          f"{100.0 * at.OVERFLOW_TOL:.2f}% of "
+                          f"(gaussian, tile) pairs — update discarded; "
+                          f"re-autosizing caps and recompiling")
+                    self._heal_overflow(batch)
+                    terms = run_batch()
+                    of_frac = float(jnp.max(
+                        terms.get("n_overflow", jnp.zeros(()))
+                        / jnp.maximum(terms.get("n_pairs", jnp.ones(())),
+                                      1.0)))
+                    if of_frac > at.OVERFLOW_TOL:
+                        raise RuntimeError(
+                            "binning caps still overflow after re-autosize "
+                            f"({100.0 * of_frac:.2f}%) — raise "
+                            "autosize_margin")
+                if self.scan_steps > 1:
                     terms = {k: v[-1] for k, v in terms.items()}
-                else:
-                    item = {k: v[0] for k, v in batch.items()}
-                    items = self._items_to_device(item)
-                    rng, step_rng = jax.random.split(rng)
-                    self.state, terms = self.train_step(self.state, items,
-                                                        step_rng)
                 self.iter_idx = int(self.state.iter_idx)
 
                 # `< scan_steps` == `== 0` at scan_steps 1; with scans the
@@ -275,20 +372,6 @@ class AvatarTrainer:
                 # the interval was crossed this call.
                 if self.iter_idx % self.log_interval < self.scan_steps:
                     terms = {k: float(v) for k, v in terms.items()}
-                    # Loud overflow check: the CUDA reference never drops a
-                    # (gaussian, tile) pair (rasterizer_impl.cu:281-286);
-                    # material overflow here means the static binning caps
-                    # are cropping the scene and both the image and its
-                    # gradients are wrong — do not let it scroll by in TB.
-                    n_of = terms.get("n_overflow", 0.0)
-                    n_pairs = max(terms.get("n_pairs", 0.0), 1.0)
-                    if n_of > 0.001 * n_pairs:
-                        print(f"WARNING: binning caps dropped "
-                              f"{int(n_of)} of {int(n_pairs)} "
-                              f"(gaussian, tile) pairs "
-                              f"({100.0 * n_of / n_pairs:.2f}% > 0.1%) — "
-                              f"raise RasterizeConfig k_max/max_dup/"
-                              f"max_active_tiles")
                     for k, v in terms.items():
                         smooth[k] = smooth.get(k, v) * 0.9 + v * 0.1
                         if writer:

@@ -70,9 +70,14 @@ def _setup():
     from animatablegaussians_tpu.utils.jax_cache import enable_compilation_cache
     enable_compilation_cache()
 
-    # throughput run: bf16 MXU passes for convs (parity paths pin HIGHEST)
+    # throughput run: bf16 MXU passes for convs (parity paths pin HIGHEST).
+    # --bf16 additionally keeps activations bf16 between layers; --mmgrad
+    # lowers stride-1 conv weight gradients as shifted matmuls (both
+    # measured one at a time in BASELINE.md's round-4 ablation table).
     from animatablegaussians_tpu.models import styleunet as su
-    su.set_conv_precision("default")
+    su.set_conv_precision("bf16" if "--bf16" in sys.argv else "default")
+    if "--mmgrad" in sys.argv:
+        su.set_conv_mmgrad(True)
 
     import __graft_entry__ as ge
     from animatablegaussians_tpu.ops.rasterize import autosize as az
@@ -268,17 +273,33 @@ def bench_dp():
     jax.block_until_ready(state1.params)
     t_single = (time.perf_counter() - t0) / iters
 
-    # DP step over the full visible mesh
+    # DP step over the full visible mesh; --scan N composes scan_steps
+    # inside the shard_map body (one dispatch per N steps x n devices,
+    # parallel.make_dp_train_scan — the v5p-8 production configuration)
+    scan_n = 0
+    if "--scan" in sys.argv:
+        i = sys.argv.index("--scan")
+        scan_n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 8
     step_ax = at.make_train_step(net, optimizer, axis_name="data", **kw)
     mesh = make_mesh(n)
-    dp_step = make_dp_train_step(step_ax, mesh)
     batch = synthetic.batch_items(
         [synthetic.make_items(img_w=img_w, img_h=img_h, seed=i,
                               cano_pos_map=pos) for i in range(n)])
-    batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
-    rngs = shard_batch(mesh, jax.random.split(jax.random.PRNGKey(3), n))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
     state = replicate(mesh, at.TrainState(params, optimizer.init(params),
                                           jnp.zeros((), jnp.int32)))
+    if scan_n:
+        from animatablegaussians_tpu.parallel import make_dp_train_scan
+        dp_step = make_dp_train_scan(step_ax, mesh)
+        batch = shard_batch(mesh, {
+            k: jnp.broadcast_to(v[:, None], (n, scan_n) + v.shape[1:])
+            for k, v in batch.items()})
+        rngs = shard_batch(mesh, jax.random.split(
+            jax.random.PRNGKey(3), n * scan_n).reshape(n, scan_n, -1))
+    else:
+        dp_step = make_dp_train_step(step_ax, mesh)
+        batch = shard_batch(mesh, batch)
+        rngs = shard_batch(mesh, jax.random.split(jax.random.PRNGKey(3), n))
 
     for _ in range(WARMUP):
         state, terms = dp_step(state, batch, rngs)
@@ -287,7 +308,7 @@ def bench_dp():
     for _ in range(iters):
         state, terms = dp_step(state, batch, rngs)
     jax.block_until_ready(state.params)
-    t_dp = (time.perf_counter() - t0) / iters
+    t_dp = (time.perf_counter() - t0) / iters / max(scan_n, 1)
 
     aggregate = n / t_dp
     print(f"dp: mesh={n}x{jax.default_backend()} step {t_dp * 1e3:.1f} ms "
@@ -304,6 +325,13 @@ def bench_dp():
 
 
 if __name__ == "__main__":
+    if "--check" in sys.argv:
+        # on-hardware correctness gate: pallas == reference blend (fwd+bwd,
+        # rect+ragged) with the CURRENT backend's native kernels — run it
+        # before capturing any official number (CI only exercises the
+        # kernels in interpreter mode, tests/conftest.py)
+        from animatablegaussians_tpu.tools.verify_tpu import main as check
+        sys.exit(check())
     if "--fps" in sys.argv:
         bench_fps()
     elif "--dp" in sys.argv:

@@ -200,3 +200,78 @@ def test_scan_steps_trainer(full_capture, tmp_path):
     assert os.path.exists(os.path.join(trainer.net_ckpt_dir, "epoch_latest",
                                        "state.npz"))
     assert os.path.exists(os.path.join(trainer.net_ckpt_dir, "loss.txt"))
+
+
+def test_dp_scan_trainer_wiring(full_capture, tmp_path):
+    """scan_steps composed with DP in the real trainer: with a dataset
+    smaller than devices x scan the driver clamps scan_steps (the loader
+    drops incomplete batches), and the dp+scan step it builds consumes a
+    (n_devices, scan_steps, ...) batch and advances iter_idx by scan_steps
+    per dispatch. (Step-math equality vs sequential dp steps is covered by
+    tests/test_training.py::test_dp_scan_composes_with_data_parallel.)"""
+    import jax
+    import jax.numpy as jnp
+    from animatablegaussians_tpu.training.driver import AvatarTrainer
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+
+    data_dir, smpl_path = full_capture
+    opt = _make_opt(data_dir, smpl_path, str(tmp_path / "dpscan_ckpt"))
+    opt["train"]["data"]["frame_range"] = [0, 4]   # 8 items
+    opt["train"]["scan_steps"] = 4                 # 8 // 8 devices -> 1
+    trainer = AvatarTrainer(opt)
+    assert trainer.use_dp
+    assert trainer.scan_steps == 1                 # clamped
+
+    # force the scan flavor at scan_steps=2 by rebuilding the step the way
+    # the driver does for a big-enough dataset
+    from animatablegaussians_tpu.parallel import data_parallel as dp
+    from animatablegaussians_tpu.training import avatar_trainer as at
+    n, n_scan = trainer.n_devices, 2
+    per_example = at.make_train_step(
+        trainer.avatar_net, trainer.optimizer, axis_name=dp.AXIS,
+        loss_weight=trainer.loss_weight, lpips_params=trainer.lpips_params,
+        random_bg_color=True, patch_size=trainer.PATCH_SIZE,
+        img_w=trainer.img_w, img_h=trainer.img_h)
+    dp_scan = dp.make_dp_train_scan(per_example, trainer.mesh)
+
+    item = trainer._items_to_device(
+        trainer.dataset.getitem(0, training=True))
+    batch = {k: jnp.broadcast_to(v[None, None], (n, n_scan) + v.shape)
+             for k, v in item.items()}
+    rngs = jax.random.split(jax.random.PRNGKey(3), n * n_scan).reshape(
+        n, n_scan, -1)
+    state, terms = dp_scan(jax.device_get(trainer.state),
+                           dp.shard_batch(trainer.mesh, batch),
+                           dp.shard_batch(trainer.mesh, rngs))
+    assert terms["total_loss"].shape == (n_scan,)
+    assert np.isfinite(np.asarray(terms["total_loss"])).all()
+    assert int(state.iter_idx) == 2
+
+
+def test_overflow_self_heals_with_reautosize(full_capture, tmp_path):
+    """A cap-busting configuration must trigger re-autosize + recompile +
+    lossless re-run, not cropped gradients: caps grow, every loader item
+    still lands exactly one applied optimizer step, and training proceeds
+    (ref never-drop semantics: rasterizer_impl.cu:278-309)."""
+    import jax
+    from animatablegaussians_tpu.ops.rasterize import RasterizeConfig
+    from animatablegaussians_tpu.training.driver import AvatarTrainer
+
+    data_dir, smpl_path = full_capture
+    opt = _make_opt(data_dir, smpl_path, str(tmp_path / "heal_ckpt"))
+    opt["train"]["data"]["frame_range"] = [0, 3]  # 6 items -> single-dev
+    opt["model"]["autosize_raster"] = False       # start undersized
+    trainer = AvatarTrainer(opt)
+    assert not trainer.use_dp
+    # cap-busting static caps (max_dup=1 crops most multi-tile gaussians)
+    trainer.avatar_net.raster_config = RasterizeConfig(
+        k_max=128, max_dup=1, max_active_tiles=256)
+    trainer._build_train_step()
+
+    trainer.train(num_epochs=1)
+
+    cfg = trainer.avatar_net.raster_config
+    assert cfg.max_dup > 1            # healing re-autosized the caps
+    assert trainer.iter_idx == 6      # no step was lost to cropped grads

@@ -273,3 +273,159 @@ def test_train_scan_matches_host_loop():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
         s2.params, s1.params)
+
+
+def test_main_loss_pipeline_overfits_one_frame():
+    """The composed main-phase pipeline (render -> L1 + mask + LPIPS +
+    offset -> grads -> adam) must actually LEARN: overfit one fixed frame
+    whose ground truth is rendered by a noise-perturbed copy of the same
+    net, and assert rendered-vs-GT PSNR rises by a clear margin. Equality
+    tests compare paths, not learning — a sign error in any loss term or a
+    mis-scaled VJP passes those but fails this (ref: the 800k-iteration
+    convergence run is the reference's whole point, main_avatar.py:328-442).
+    """
+    from animatablegaussians_tpu.training import avatar_trainer as at
+    from animatablegaussians_tpu.training.lpips import init_random
+
+    net, params, items = _tiny_avatar()
+
+    # GT from a visibly different, reachable target: same architecture,
+    # color/position heads perturbed
+    rng = jax.random.PRNGKey(11)
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(rng, len(leaves))
+    noisy = [l + 0.08 * jax.random.normal(k, l.shape) if l.ndim >= 2 else l
+             for l, k in zip(leaves, keys)]
+    params_gt = jax.tree.unflatten(treedef, noisy)
+
+    bg = jnp.ones((3,), jnp.float32)
+    render = jax.jit(lambda p: net.render(p, items, bg_color=bg,
+                                          img_w=64, img_h=64))
+    gt = render(params_gt)
+    items = dict(items, color_img=gt["rgb_map"],
+                 mask_img=(gt["mask_map"] > 0.5).astype(jnp.float32))
+
+    mask3 = items["mask_img"][..., None]
+
+    def psnr(p):
+        out = render(p)
+        mse = (((out["rgb_map"] - items["color_img"]) ** 2) * mask3).sum() \
+            / jnp.maximum(mask3.sum() * 3, 1.0)
+        return float(10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-10)))
+
+    opt = at.make_optimizer(lr_init=2e-3, iter_num=800_000)
+    state = at.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = at.make_train_step(
+        net, opt,
+        loss_weight=dict(l1=1.0, mask=0.5, lpips=0.05, offset=0.005),
+        lpips_params=init_random(jax.random.PRNGKey(7)),
+        patch_size=32, img_w=64, img_h=64, donate=False)
+
+    psnr0 = psnr(state.params)
+    key = jax.random.PRNGKey(5)
+    for i in range(150):
+        state, terms = step(state, items, jax.random.fold_in(key, i))
+    psnr1 = psnr(state.params)
+    assert np.isfinite(float(terms["total_loss"]))
+    # learning evidence: a clear PSNR climb and a sane absolute floor
+    # (measured trajectory: ~14.3 dB at init -> ~20.6 dB by step 150)
+    assert psnr1 > psnr0 + 3.0, (psnr0, psnr1)
+    assert psnr1 > 18.0, (psnr0, psnr1)
+
+
+def test_dp_scan_composes_with_data_parallel():
+    """scan_steps inside the shard_map body: one dp_scan dispatch over
+    (n_devices, n_steps) items must equal n_steps sequential dp_step calls
+    — the v5p-8 production configuration (DP amortizing examples, scan
+    amortizing dispatch overhead)."""
+    from animatablegaussians_tpu.parallel import (make_dp_train_scan,
+                                                  make_dp_train_step,
+                                                  make_mesh, shard_batch)
+    from animatablegaussians_tpu.parallel.data_parallel import replicate
+    from animatablegaussians_tpu.training import avatar_trainer as at
+    from animatablegaussians_tpu.utils import synthetic
+
+    n, n_steps = 8, 2
+    if len(jax.devices()) < n:
+        pytest.skip("needs 8 virtual devices")
+
+    net, params, _ = _tiny_avatar()
+    opt = at.make_optimizer(lr_init=5e-4, iter_num=100)
+    step = at.make_train_step(net, opt,
+                              loss_weight=dict(l1=1.0, offset=0.005),
+                              axis_name="data", img_w=64, img_h=64)
+    mesh = make_mesh(n)
+    pos, _, _ = synthetic.make_cano_map(map_h=64)
+    items = [[synthetic.make_items(img_w=64, img_h=64, seed=10 * s + d,
+                                   cano_pos_map=pos) for s in range(n_steps)]
+             for d in range(n)]
+    # (n_devices, n_steps, ...) leaves
+    batch = {k: np.stack([np.stack([items[d][s][k] for s in range(n_steps)])
+                          for d in range(n)])
+             for k in items[0][0]}
+    rngs = jax.random.split(jax.random.PRNGKey(5), n * n_steps).reshape(
+        n, n_steps, -1)
+
+    # host copy: both dp paths donate their (replicated) state input, and
+    # device_put may alias rather than copy a single-device source buffer
+    state0 = jax.device_get(at.TrainState(params, opt.init(params),
+                                          jnp.zeros((), jnp.int32)))
+
+    dp_scan = make_dp_train_scan(step, mesh)
+    s_scan, terms = dp_scan(replicate(mesh, state0),
+                            shard_batch(mesh, batch),
+                            shard_batch(mesh, rngs))
+    assert terms["total_loss"].shape == (n_steps,)
+
+    dp_step = make_dp_train_step(step, mesh)
+    s_ref = replicate(mesh, state0)
+    for s in range(n_steps):
+        s_ref, terms_ref = dp_step(
+            s_ref, shard_batch(mesh, {k: v[:, s] for k, v in batch.items()}),
+            shard_batch(mesh, rngs[:, s]))
+
+    assert int(s_scan.iter_idx) == n_steps
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4),
+        s_scan.params, s_ref.params)
+    np.testing.assert_allclose(float(terms["total_loss"][-1]),
+                               float(terms_ref["total_loss"]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_overflow_discards_update():
+    """A step whose binning caps materially overflow must NOT apply its
+    (cropped) gradients: params, opt state, and iter_idx come back
+    unchanged so the driver can re-autosize and re-run losslessly
+    (never-drop parity with the CUDA reference, rasterizer_impl.cu:281-286).
+    """
+    from animatablegaussians_tpu.models.avatar import AvatarNet
+    from animatablegaussians_tpu.ops.rasterize import RasterizeConfig
+    from animatablegaussians_tpu.training import avatar_trainer as at
+    from animatablegaussians_tpu.utils import synthetic
+
+    pos, nml, lbs = synthetic.make_cano_map(map_h=64)
+    # max_dup=1 crops most multi-tile gaussians -> material overflow
+    net = AvatarNet({"with_viewdirs": True, "channel_max": 32},
+                    pos, lbs, cano_nml_map=nml,
+                    raster_config=RasterizeConfig(k_max=128, max_dup=1,
+                                                  max_active_tiles=256))
+    params = net.init(jax.random.PRNGKey(0))
+    items = {k: jnp.asarray(v)
+             for k, v in synthetic.make_items(img_w=64, img_h=64,
+                                              cano_pos_map=pos).items()}
+    opt = at.make_optimizer(lr_init=5e-4, iter_num=100)
+    state = at.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = at.make_train_step(net, opt,
+                              loss_weight=dict(l1=1.0, offset=0.005),
+                              img_w=64, img_h=64, donate=False)
+    state2, terms = step(state, items, jax.random.PRNGKey(3))
+    assert float(terms["n_overflow"]) > \
+        at.OVERFLOW_TOL * float(terms["n_pairs"])
+    # the whole update was discarded
+    assert int(state2.iter_idx) == 0
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state2.params, state.params)
