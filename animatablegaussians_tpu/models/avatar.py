@@ -499,3 +499,25 @@ class AvatarNet:
             ret.update(cano_tex_map=self._net_out_to_map(color_out, 3),
                        posed_gaussians=gaussian_vals)
         return ret
+
+    # -- sequence render: F frames per dispatch ---------------------------
+    def render_sequence(self, params, items_seq, bg_color=(0.0, 0.0, 0.0),
+                        use_pca: bool = False,
+                        hand_vals: Optional[dict] = None,
+                        img_w: Optional[int] = None,
+                        img_h: Optional[int] = None) -> dict:
+        """Render a stacked sequence of frames in ONE dispatch via
+        ``lax.map`` over the leading frame axis of every leaf in
+        ``items_seq``. The reference test loop renders animation frames
+        one eager torch call at a time (ref: main_avatar.py:525-776); on
+        TPU a per-frame ``jit`` call pays host dispatch + executable
+        launch per frame, which ``lax.map`` amortizes across the sequence
+        — the natural shape for the offline animation product surface
+        (testing/animate.py). Returns rgb/mask/depth stacked (F, H, W[,3])."""
+        def body(items):
+            out = self.render(params, items, bg_color=bg_color,
+                              use_pca=use_pca, training=True,
+                              hand_vals=hand_vals, img_w=img_w, img_h=img_h)
+            return dict(rgb_map=out["rgb_map"], mask_map=out["mask_map"],
+                        depth_map=out["depth_map"])
+        return jax.lax.map(body, items_seq)

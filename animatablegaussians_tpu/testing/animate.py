@@ -152,9 +152,32 @@ def run_test(trainer, opt: dict):
                 bg_color=(1.0, 1.0, 1.0)))
         return render_cache[key]
 
+    seq_cache = {}
+
+    def get_render_seq(img_w, img_h):
+        key = (img_w, img_h)
+        if key not in seq_cache:
+            seq_cache[key] = jax.jit(partial(
+                avatar_net.render_sequence, img_w=img_w, img_h=img_h,
+                use_pca=use_pca, hand_vals=hand_vals,
+                bg_color=(1.0, 1.0, 1.0)))
+        return seq_cache[key]
+
     pose_map_fn = jax.jit(avatar_net.get_pose_map)
 
-    for idx in range(len(dataset)):
+    # Frame-batched dispatch: stage F frames' host work (camera math, item
+    # build, PCA), then render them all in ONE lax.map dispatch
+    # (AvatarNet.render_sequence) — amortizes per-frame dispatch overhead
+    # on the sequential animation workload. Falls back to per-frame calls
+    # when a consumer needs render outputs the sequence path drops (tex
+    # map, posed-Gaussian PLY). seq_frames=1 disables batching.
+    seq_frames = int(opt_test.get("seq_frames", 8))
+    if opt_test.get("save_tex_map", False) or opt_test.get("save_ply",
+                                                           False):
+        seq_frames = 1
+
+    def prepare(idx):
+        nonlocal object_center
         extr, intr, img_w, img_h = compute_view(
             view_setting, idx, object_center, global_orient, dataset,
             opt_test)
@@ -183,57 +206,93 @@ def run_test(trainer, opt: dict):
             front[mask] = new_conds
             items["smpl_pos_map_pca"] = jnp.asarray(
                 np.concatenate([front, back], 2))
+        return item, items, extr, intr, img_w, img_h
 
-        output = get_render(img_w, img_h)(params, items)
+    idx = 0
+    n_frames = len(dataset)
+    while idx < n_frames:
+        # stage up to seq_frames frames that share an image size
+        staged = [prepare(idx)]
+        size = staged[0][4:6]
+        while (len(staged) < seq_frames and idx + len(staged) < n_frames):
+            nxt = prepare(idx + len(staged))
+            if nxt[4:6] != size:
+                break
+            staged.append(nxt)
 
-        rgb = np.clip(np.asarray(output["rgb_map"]), 0, 1)
-        cv.imwrite(os.path.join(output_dir, "rgb_map",
-                                "%08d.jpg" % item["data_idx"]),
-                   (rgb * 255).astype(np.uint8))
-        mask = np.clip(np.asarray(output["mask_map"]), 0, 1)
-        cv.imwrite(os.path.join(output_dir, "mask_map",
-                                "%08d.png" % item["data_idx"]),
-                   (mask * 255).astype(np.uint8))
-        if opt_test.get("save_tex_map", False):
-            os.makedirs(os.path.join(output_dir, "cano_tex_map"),
-                        exist_ok=True)
-            tex = np.clip(np.asarray(output["cano_tex_map"]), 0, 1)
-            cv.imwrite(os.path.join(output_dir, "cano_tex_map",
-                                    "%08d.jpg" % item["data_idx"]),
-                       (tex * 255).astype(np.uint8))
-        if opt_test.get("render_skeleton", False):
-            # ball+cylinder skeleton overlay, phong-shaded on white
-            # (ref: main_avatar.py:699-711)
-            from animatablegaussians_tpu.utils.mesh_renderer import Renderer
-            from animatablegaussians_tpu.utils.visualize_skeletons import \
-                construct_skeletons
-            from animatablegaussians_tpu.data.commons import _vertex_normals
-            skel_v, skel_f = construct_skeletons(
-                np.asarray(item["joints"]), np.asarray(item["kin_parent"]))
-            normals = _vertex_normals(skel_v, skel_f)
-            geo = Renderer(img_w, img_h, shader_name="phong_geometry",
-                           bg_color=(1, 1, 1))
-            geo.set_camera(extr, intr)
-            geo.set_model(skel_v[skel_f.reshape(-1)],
-                          normals[skel_f.reshape(-1)])
-            skel_img = np.clip(geo.render()[:, :, :3], 0, 1)
-            os.makedirs(os.path.join(output_dir, "live_skeleton"),
-                        exist_ok=True)
-            cv.imwrite(os.path.join(output_dir, "live_skeleton",
-                                    "%08d.jpg" % item["data_idx"]),
-                       (skel_img * 255).astype(np.uint8))
+        if len(staged) > 1:
+            keys = staged[0][1].keys()
+            items_seq = {k: jnp.stack([s[1][k] for s in staged])
+                         for k in keys}
+            seq_out = get_render_seq(*size)(params, items_seq)
+            outputs = [{k: v[f] for k, v in seq_out.items()}
+                       for f in range(len(staged))]
+        else:
+            outputs = [get_render(*size)(params, staged[0][1])]
 
-        if opt_test.get("save_ply", False):
-            os.makedirs(os.path.join(output_dir, "posed_gaussians"),
-                        exist_ok=True)
-            # drop the block-packing pad points (statically invalid)
-            vmask = np.asarray(trainer.avatar_net.valid_np)
-            save_gaussians_as_ply(
-                os.path.join(output_dir, "posed_gaussians",
-                             "%08d.ply" % item["data_idx"]),
-                {k: (np.asarray(v)[vmask]
-                     if np.ndim(v) > 0 and np.shape(v)[0] == vmask.shape[0]
-                     else np.asarray(v))
-                 for k, v in output["posed_gaussians"].items()
-                 if not np.isscalar(v)})
+        for (item, items, extr, intr, img_w, img_h), output in zip(
+                staged, outputs):
+            _write_frame(item, items, extr, intr, img_w, img_h, output,
+                         output_dir, opt_test, trainer)
+        idx += len(staged)
+
     return output_dir
+
+
+def _write_frame(item, items, extr, intr, img_w, img_h, output,
+                 output_dir, opt_test, trainer):
+    import cv2 as cv
+
+    from animatablegaussians_tpu.models.gaussian_model import \
+        save_gaussians_as_ply
+
+    rgb = np.clip(np.asarray(output["rgb_map"]), 0, 1)
+    cv.imwrite(os.path.join(output_dir, "rgb_map",
+                            "%08d.jpg" % item["data_idx"]),
+               (rgb * 255).astype(np.uint8))
+    mask = np.clip(np.asarray(output["mask_map"]), 0, 1)
+    cv.imwrite(os.path.join(output_dir, "mask_map",
+                            "%08d.png" % item["data_idx"]),
+               (mask * 255).astype(np.uint8))
+    if opt_test.get("save_tex_map", False):
+        os.makedirs(os.path.join(output_dir, "cano_tex_map"),
+                    exist_ok=True)
+        tex = np.clip(np.asarray(output["cano_tex_map"]), 0, 1)
+        cv.imwrite(os.path.join(output_dir, "cano_tex_map",
+                                "%08d.jpg" % item["data_idx"]),
+                   (tex * 255).astype(np.uint8))
+    if opt_test.get("render_skeleton", False):
+        # ball+cylinder skeleton overlay, phong-shaded on white
+        # (ref: main_avatar.py:699-711)
+        from animatablegaussians_tpu.utils.mesh_renderer import Renderer
+        from animatablegaussians_tpu.utils.visualize_skeletons import \
+            construct_skeletons
+        from animatablegaussians_tpu.data.commons import _vertex_normals
+        skel_v, skel_f = construct_skeletons(
+            np.asarray(item["joints"]), np.asarray(item["kin_parent"]))
+        normals = _vertex_normals(skel_v, skel_f)
+        geo = Renderer(img_w, img_h, shader_name="phong_geometry",
+                       bg_color=(1, 1, 1))
+        geo.set_camera(extr, intr)
+        geo.set_model(skel_v[skel_f.reshape(-1)],
+                      normals[skel_f.reshape(-1)])
+        skel_img = np.clip(geo.render()[:, :, :3], 0, 1)
+        os.makedirs(os.path.join(output_dir, "live_skeleton"),
+                    exist_ok=True)
+        cv.imwrite(os.path.join(output_dir, "live_skeleton",
+                                "%08d.jpg" % item["data_idx"]),
+                   (skel_img * 255).astype(np.uint8))
+
+    if opt_test.get("save_ply", False):
+        os.makedirs(os.path.join(output_dir, "posed_gaussians"),
+                    exist_ok=True)
+        # drop the block-packing pad points (statically invalid)
+        vmask = np.asarray(trainer.avatar_net.valid_np)
+        save_gaussians_as_ply(
+            os.path.join(output_dir, "posed_gaussians",
+                         "%08d.ply" % item["data_idx"]),
+            {k: (np.asarray(v)[vmask]
+                 if np.ndim(v) > 0 and np.shape(v)[0] == vmask.shape[0]
+                 else np.asarray(v))
+             for k, v in output["posed_gaussians"].items()
+             if not np.isscalar(v)})

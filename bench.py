@@ -182,7 +182,15 @@ def bench_train():
 
 def bench_fps():
     """Novel-pose inference: pose map -> 3x CNN -> skin -> splat, no grads
-    (the ref test path, main_avatar.py:525-776; north-star 'render FPS')."""
+    (the ref test path, main_avatar.py:525-776; north-star 'render FPS').
+
+    Headline metric is animation-sequence THROUGHPUT: F frames rendered per
+    dispatch via ``AvatarNet.render_sequence`` (lax.map), the shape
+    testing/animate.py actually runs for its non-moving view settings. The
+    per-frame-dispatch latency FPS is also measured and printed to stderr.
+    ``--frames N`` overrides F (default 8); ``--single`` makes the
+    single-frame latency number the headline instead."""
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
@@ -190,20 +198,53 @@ def bench_fps():
     items = {k: jnp.asarray(v) for k, v in items_np.items()}
     bg = jnp.ones((3,), jnp.float32)
 
+    F = (int(sys.argv[sys.argv.index("--frames") + 1])
+         if "--frames" in sys.argv else 8)
+
     @jax.jit
     def render(params, items):
         out = net.render(params, items, bg_color=bg,
                          img_w=IMG_W, img_h=IMG_H)
         return out["rgb_map"], out["mask_map"]
 
+    @jax.jit
+    def render_seq(params, items_seq):
+        out = net.render_sequence(params, items_seq, bg_color=bg,
+                                  img_w=IMG_W, img_h=IMG_H)
+        return out["rgb_map"], out["mask_map"]
+
+    # F distinct frames: jitter the camera per frame so no two scan
+    # iterations see identical operands (real animation = new pose + view
+    # per frame; pose-map synthesis is host-side dataset work in both this
+    # repo and the reference)
+    rng = np.random.RandomState(0)
+    seq_np = {}
+    for k, v in items_np.items():
+        v = np.asarray(v)
+        seq_np[k] = np.broadcast_to(v, (F,) + v.shape).copy()
+    for f in range(F):
+        seq_np["extr"][f, :3, 3] += 0.01 * rng.randn(3)
+    items_seq = {k: jnp.asarray(v) for k, v in seq_np.items()}
+
     for _ in range(WARMUP):
         jax.block_until_ready(render(params, items))
     t0 = time.perf_counter()
     for _ in range(ITERS):
         jax.block_until_ready(render(params, items))
-    dt = time.perf_counter() - t0
+    lat_fps = ITERS / (time.perf_counter() - t0)
+    print(f"single-frame-dispatch latency: {lat_fps:.3f} fps",
+          file=sys.stderr)
 
-    fps = ITERS / dt
+    seq_iters = max(1, ITERS // F)
+    jax.block_until_ready(render_seq(params, items_seq))  # compile+warm
+    t0 = time.perf_counter()
+    for _ in range(seq_iters):
+        jax.block_until_ready(render_seq(params, items_seq))
+    seq_fps = seq_iters * F / (time.perf_counter() - t0)
+    print(f"sequence throughput ({F} frames/dispatch): {seq_fps:.3f} fps",
+          file=sys.stderr)
+
+    fps = lat_fps if "--single" in sys.argv else seq_fps
     print(json.dumps({
         "metric": "avatar_render",
         "value": round(fps, 3),

@@ -24,6 +24,32 @@ def _tiny_avatar(map_h=64, img=64):
     return net, params, items
 
 
+def test_render_sequence_matches_per_frame():
+    """lax.map sequence render == per-frame render (same params, distinct
+    per-frame cameras), the equality bench.py --fps's headline rests on."""
+    net, params, items = _tiny_avatar()
+    F = 3
+    rng = np.random.RandomState(3)
+    seq = {}
+    for k, v in items.items():
+        v = np.asarray(v)
+        seq[k] = np.broadcast_to(v, (F,) + v.shape).copy()
+    for f in range(F):
+        seq["extr"][f][:3, 3] += 0.01 * rng.randn(3)
+    seq = {k: jnp.asarray(v) for k, v in seq.items()}
+
+    out = net.render_sequence(params, seq, bg_color=(1.0, 1.0, 1.0),
+                              img_w=64, img_h=64)
+    for f in range(F):
+        it = {k: v[f] for k, v in seq.items()}
+        ref = net.render(params, it, bg_color=(1.0, 1.0, 1.0),
+                         img_w=64, img_h=64, training=True)
+        np.testing.assert_allclose(out["rgb_map"][f], ref["rgb_map"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(out["mask_map"][f], ref["mask_map"],
+                                   atol=1e-5)
+
+
 def test_cosine_lr_schedule():
     from animatablegaussians_tpu.training.avatar_trainer import cosine_lr
     sched = cosine_lr(5e-4, 1000)
