@@ -301,8 +301,9 @@ class AvatarNet:
         color_map = self._net_out_to_map(out, 3)
         return self._select_masked(color_map), color_map
 
-    def get_viewdir_feat(self, params, items, rng=None):
-        """normal.viewdir scalar map -> conv features (ref: avatar.py:126-147)."""
+    def _viewdir_half_map(self, items, rng=None):
+        """Per-frame normal.viewdir dots scattered to the (H/2, W/2) map
+        (ref: avatar.py:126-147); vmap-able over stacked frames."""
         mats = items["cano2live_jnt_mats"]
         pt_mats = jnp.einsum("nj,jxy->nxy", self.lbs, mats)
         pt_mats = jax.lax.stop_gradient(pt_mats)
@@ -320,15 +321,17 @@ class AvatarNet:
             viewdirs = viewdirs / jnp.maximum(
                 jnp.linalg.norm(viewdirs, axis=-1, keepdims=True), 1e-3)
         dots = jnp.sum(live_nmls * viewdirs, axis=-1)
+        return self._scatter_masked_half(dots)                 # (H/2, W/2)
 
-        vmap = self._scatter_masked_half(dots)                 # (H/2, W/2)
-        half = vmap.shape[1] // 2
-        front, back = vmap[:, :half], vmap[:, half:]
-
+    def _encode_viewdirs(self, params, vmaps):
+        """(B, H/2, W/2) half-res dot maps -> two (B, h, w, 128) conv
+        features (front/back). Batched over frames."""
+        half = vmaps.shape[2] // 2
+        front, back = vmaps[:, :, :half], vmaps[:, :, half:]
         p = params["viewdir_net"]
 
         def encode(v):
-            x = v[None, :, :, None]
+            x = v[..., None]
             x = su.conv2d(x, p["conv1"]["weight"], stride=2, padding=1)
             x = x + p["conv1"]["bias"]
             x = jnp.where(x >= 0, x, 0.2 * x)
@@ -338,6 +341,11 @@ class AvatarNet:
 
         w = self.weight_viewdirs
         return w * encode(front), w * encode(back)
+
+    def get_viewdir_feat(self, params, items, rng=None):
+        """normal.viewdir scalar map -> conv features (ref: avatar.py:126-147)."""
+        vmap = self._viewdir_half_map(items, rng)
+        return self._encode_viewdirs(params, vmap[None])
 
     # -- skinning (ref: avatar.py:84-91) ---------------------------------
     def transform_cano2live(self, gaussian_vals: dict, items: dict) -> dict:
@@ -430,23 +438,39 @@ class AvatarNet:
         if self.random_style and training and rng is not None:
             style = jax.random.uniform(rng, (1, self.style_dim))
 
-        # Run the three heads, then do ONE masked-texel select on their
-        # concatenated outputs: the three separate selects' VJPs were
-        # three ~22 ms scatter-adds at 518k texels; identical indices fuse
-        # them into one. The select reads the raw (S, S, 2C) outputs via
-        # the dual_row layout when available (skips three full-res
-        # front|back concat copies).
+        pos_out, other_out, color_out = self._head_outputs(
+            params, pose_map[None], front_vd, back_vd, style)
+        return self._finish_render(params, items, pos_out, other_out,
+                                   color_out, bg, img_w, img_h, hand_vals,
+                                   training)
+
+    def _head_outputs(self, params, pose_maps, front_vd, back_vd, style):
+        """Run the three DualStyleUNet heads on a (B, S, S, 3) pose-map
+        batch -> three raw (B, S, S, 2C) outputs. With the constant style
+        the modulated convs share one weight across the batch (see
+        styleunet.modulated_conv2d), so B > 1 frames run as ONE batched
+        conv stack — far better MXU utilization than B batch-1 passes."""
         pos_out = self.position_net.apply(params["position_net"],
-                                          self.constant_style(),
-                                          pose_map[None])
+                                          self.constant_style(), pose_maps)
         other_out = self.other_net.apply(params["other_net"],
-                                         self.constant_style(),
-                                         pose_map[None])
+                                         self.constant_style(), pose_maps)
         color_style = self.constant_style() if style is None else style
         color_out = self.color_net.apply(params["color_net"], color_style,
-                                         pose_map[None],
+                                         pose_maps,
                                          view_feature1=front_vd,
                                          view_feature2=back_vd)
+        return pos_out, other_out, color_out
+
+    def _finish_render(self, params, items, pos_out, other_out, color_out,
+                       bg, img_w, img_h, hand_vals, training):
+        """Masked select -> Gaussian attributes -> LBS -> splat for ONE
+        frame, from raw (1, S, S, 2C) head outputs."""
+        # ONE masked-texel select on the three heads' concatenated
+        # outputs: the three separate selects' VJPs were three ~22 ms
+        # scatter-adds at 518k texels; identical indices fuse them into
+        # one. The select reads the raw (S, S, 2C) outputs via the
+        # dual_row layout when available (skips three full-res front|back
+        # concat copies).
         if self.dual_row is not None:
             sel = self._select_masked_dual(
                 [pos_out, other_out, color_out])           # (N, 14)
@@ -506,18 +530,34 @@ class AvatarNet:
                         hand_vals: Optional[dict] = None,
                         img_w: Optional[int] = None,
                         img_h: Optional[int] = None) -> dict:
-        """Render a stacked sequence of frames in ONE dispatch via
-        ``lax.map`` over the leading frame axis of every leaf in
-        ``items_seq``. The reference test loop renders animation frames
-        one eager torch call at a time (ref: main_avatar.py:525-776); on
-        TPU a per-frame ``jit`` call pays host dispatch + executable
-        launch per frame, which ``lax.map`` amortizes across the sequence
-        — the natural shape for the offline animation product surface
-        (testing/animate.py). Returns rgb/mask/depth stacked (F, H, W[,3])."""
-        def body(items):
-            out = self.render(params, items, bg_color=bg_color,
-                              use_pca=use_pca, training=True,
-                              hand_vals=hand_vals, img_w=img_w, img_h=img_h)
+        """Render a stacked sequence of F frames in ONE dispatch. The
+        reference test loop renders animation frames one eager torch call
+        at a time (ref: main_avatar.py:525-776); here the three CNN heads
+        run as ONE batch-F conv stack (the constant inference style makes
+        the modulated weights frame-invariant — batch-1 convs at these
+        shapes reach only a few % MXU utilization, BASELINE.md), then
+        ``lax.map`` runs the per-frame select/skin/splat tail (binning
+        shapes are per-frame). Returns rgb/mask/depth stacked
+        (F, H, W[, 3])."""
+        bg = jnp.asarray(bg_color, jnp.float32)
+        key = "smpl_pos_map_pca" if use_pca else "smpl_pos_map"
+        pose_maps = items_seq[key][..., :3]                # (F, S, S, 3)
+
+        if self.with_viewdirs:
+            vmaps = jax.vmap(self._viewdir_half_map)(items_seq)
+            front_vd, back_vd = self._encode_viewdirs(params, vmaps)
+        else:
+            front_vd = back_vd = None
+
+        pos_out, other_out, color_out = self._head_outputs(
+            params, pose_maps, front_vd, back_vd, None)
+
+        def body(xs):
+            items, po, oo, co = xs
+            out = self._finish_render(params, items, po[None], oo[None],
+                                      co[None], bg, img_w, img_h,
+                                      hand_vals, training=True)
             return dict(rgb_map=out["rgb_map"], mask_map=out["mask_map"],
                         depth_map=out["depth_map"])
-        return jax.lax.map(body, items_seq)
+
+        return jax.lax.map(body, (items_seq, pos_out, other_out, color_out))

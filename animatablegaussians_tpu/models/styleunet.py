@@ -360,22 +360,32 @@ def modulated_conv2d(p, x, style, demodulate=True, up=False):
     scale = 1.0 / math.sqrt(in_ch * k * k)
     s = equal_linear(p["modulation"], style)              # (B, in_ch)
 
-    def per_sample(xi, si):
+    def mod_weight(si):
         w = scale * p["weight"] * si[None, None, :, None]  # (k,k,in,out)
         if demodulate:
             demod = jax.lax.rsqrt(jnp.sum(w * w, axis=(0, 1, 2)) + 1e-8)
             w = w * demod[None, None, None, :]
-        xi = xi[None]
+        return w
+
+    def conv_apply(xi, w):
         if up:
             if k == 3:
-                out = _up_conv_polyphase(xi, w)
-            else:
-                out = conv_transpose2d(xi, w, stride=2)
-                out = blur(out, make_kernel(BLUR_KERNEL) * 4.0,
-                           pad=_up_blur_pad(k))
-        else:
-            out = conv2d(xi, w, padding=k // 2)
-        return out[0]
+                return _up_conv_polyphase(xi, w)
+            out = conv_transpose2d(xi, w, stride=2)
+            return blur(out, make_kernel(BLUR_KERNEL) * 4.0,
+                        pad=_up_blur_pad(k))
+        return conv2d(xi, w, padding=k // 2)
+
+    if s.shape[0] == 1:
+        # One style row modulates every sample: ONE shared weight and one
+        # batched conv over all of x — the frame-batched inference path
+        # (constant style; vmap-over-weights convs lower poorly on TPU,
+        # see BASELINE.md "measured dead ends"). Identical math to the
+        # per-sample branch when B == 1.
+        return conv_apply(x, mod_weight(s[0]))
+
+    def per_sample(xi, si):
+        return conv_apply(xi[None], mod_weight(si))[0]
 
     return jax.vmap(per_sample)(x, s)
 

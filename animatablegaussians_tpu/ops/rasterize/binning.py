@@ -174,6 +174,22 @@ def _resolve_max_pairs(max_pairs: int, n: int, max_dup: int) -> int:
     return max_pairs if max_pairs > 0 else n * max_dup
 
 
+def _block_gather(x: jnp.ndarray, starts: jnp.ndarray, kb: int):
+    """(S,) x, (C,) starts -> (C, kb) contiguous blocks x[starts[c]:+kb].
+
+    One gather of C block slices instead of C*kb single elements: XLA's TPU
+    gather pays per INDEX (~40 ns each measured), so fetching the chunk
+    layout element-wise was 54 ms at 1.28M slots; C=10k block indices is
+    <1 ms. Callers pad x so starts+kb stays in bounds."""
+    return jax.lax.gather(
+        x, starts[:, None],
+        jax.lax.GatherDimensionNumbers(offset_dims=(1,),
+                                       collapsed_slice_dims=(),
+                                       start_index_map=(0,)),
+        slice_sizes=(kb,),
+        mode=jax.lax.GatherScatterMode.CLIP)
+
+
 def bin_gaussians(
     means2d: jnp.ndarray,      # (N, 2)
     depths: jnp.ndarray,       # (N,)
@@ -287,38 +303,45 @@ def bin_gaussians_ragged(
         starts_a = starts[:T]
         a_overflow = jnp.zeros((), counts.dtype)
 
-    # chunked layout offsets (in pair slots, kb-aligned per tile)
-    padded = -(-counts_a // kb) * kb                           # (A,)
-    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                            jnp.cumsum(padded).astype(jnp.int32)])  # (A+1,)
-
-    S = n_chunks * kb
-    j = jnp.arange(S, dtype=jnp.int32)
-    arow = _segment_owner(offs, A, S)                          # (S,)
-    in_range = (arow >= 0) & (j < offs[A])
-    arow_c = jnp.clip(arow, 0, A - 1)
-    # one packed int32 gather for the per-slot tile fields
-    pk = jnp.stack([offs[:A], starts_a, counts_a, tile_ids], axis=1)
-    pkg = pk[arow_c]                                           # (S, 4)
-    k = j - pkg[:, 0]
-    slot_valid = in_range & (k < pkg[:, 2])
-    src = jnp.minimum(pkg[:, 1] + k, S_pairs - 1)
-    gid = jnp.where(slot_valid, sorted_gid[src], N).astype(jnp.int32)
-
-    c0 = j[::kb]                                               # chunk starts
-    pkc = pkg[::kb]
-    chunk_arow = arow_c[::kb]
-    chunk_first = ((pkc[:, 0] == c0) & in_range[::kb]).astype(jnp.int32)
-    chunk_n = jnp.clip(pkc[:, 2] - (c0 - pkc[:, 0]), 0, kb).astype(jnp.int32)
-    chunk_n = jnp.where(in_range[::kb], chunk_n, 0)
+    # Chunked layout, computed at CHUNK granularity (C = n_chunks rows),
+    # never per pair slot: tile pair-lists are kb-aligned, so every layout
+    # quantity (owner tile, first-chunk flag, valid count, source offset
+    # into the sorted pair list) is constant within a chunk, and the pair
+    # ids themselves are a CONTIGUOUS kb-slice of sorted_gid (stable tile
+    # sort lays each tile's pairs out consecutively in depth order). The
+    # per-slot formulation of this block cost ~105 ms of the bench render
+    # (a 42 ns/index element gather over 1.28M slots plus S-sized
+    # selects); this one is ~1 ms.
+    padded_c = -(-counts_a // kb)                              # (A,) chunks
+    offs_c = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(padded_c).astype(jnp.int32)])
+    c_idx = jnp.arange(n_chunks, dtype=jnp.int32)
+    arow = _segment_owner(offs_c, A, n_chunks)                 # (C,)
+    in_range = (arow >= 0) & (c_idx < offs_c[A])
+    chunk_arow = jnp.clip(arow, 0, A - 1)
+    pk = jnp.stack([offs_c[:A], starts_a, counts_a, tile_ids], axis=1)
+    pkc = pk[chunk_arow]                                       # (C, 4)
+    k0 = (c_idx - pkc[:, 0]) * kb           # chunk's pair offset in its tile
+    chunk_first = ((pkc[:, 0] == c_idx) & in_range).astype(jnp.int32)
+    chunk_n = jnp.clip(pkc[:, 2] - k0, 0, kb)
+    chunk_n = jnp.where(in_range, chunk_n, 0).astype(jnp.int32)
     chunk_tid = pkc[:, 3].astype(jnp.int32)
 
+    # contiguous kb-block gather out of the sorted pair list (pad chunks
+    # point at the sentinel tail; lanes beyond chunk_n masked to N below)
+    src0 = jnp.where(in_range, jnp.minimum(pkc[:, 1] + k0, S_pairs),
+                     S_pairs)
+    gid_pad = jnp.concatenate(
+        [sorted_gid, jnp.full((kb,), N, jnp.int32)])
+    raw = _block_gather(gid_pad, src0, kb)                     # (C, kb)
+    lane = jnp.arange(kb, dtype=jnp.int32)[None, :]
+    gid = jnp.where(lane < chunk_n[:, None], raw, N)
+
     # pairs in tiles (or tile tails) beyond the chunk budget
-    chunk_overflow = (jnp.sum(counts_a)
-                      - jnp.sum(slot_valid.astype(jnp.int32)))
+    chunk_overflow = jnp.sum(counts_a) - jnp.sum(chunk_n)
 
     return RaggedBins(
-        chunk_gid=gid.reshape(n_chunks, kb),
+        chunk_gid=gid,
         chunk_n=chunk_n, chunk_arow=chunk_arow, chunk_tid=chunk_tid,
         chunk_first=chunk_first,
         tile_ids=tile_ids, tile_count=counts_a,
