@@ -146,7 +146,8 @@ class StyleGenerator:
                     rngs[i], (B,) + tuple(p["noises"][i].shape[1:]))
                     for i in range(self.num_layers)]
             else:
-                noise = p["noises"]
+                # non-trainable buffers in the reference (register_buffer)
+                noise = [jax.lax.stop_gradient(n) for n in p["noises"]]
 
         def to_rgb(rp, x, w, skip):
             out = modulated_conv2d(rp["conv"], x, w,

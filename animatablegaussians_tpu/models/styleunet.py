@@ -566,7 +566,13 @@ class DualStyleUNet:
                                           p["noises"][i].shape[1:]))
                     for i in range(self.num_layers)]
             else:
-                noise = p["noises"]
+                # The reference registers noise maps as non-trainable
+                # BUFFERS (ref: dual_styleunet.py:713-721 register_buffer):
+                # no gradient flows to them. Without the stop_gradient the
+                # backward spends ~60 ms/step on full-resolution
+                # reduce-sums producing grads the reference never computes
+                # (12 fusions at styleunet.py:410 in the step trace).
+                noise = [jax.lax.stop_gradient(n) for n in p["noises"]]
 
         # encoder
         cond_img_cur = cond_img

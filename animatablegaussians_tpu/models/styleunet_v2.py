@@ -222,7 +222,9 @@ class DualStyleUNetV2:
             return [jax.random.normal(
                 rngs[i], (batch,) + tuple(p["noises"][i].shape[1:]))
                 for i in range(self.num_layers)]
-        return p["noises"]
+        # reference noise maps are non-trainable buffers
+        # (ref: dual_styleunet_v2.py register_buffer) — no grads
+        return [jax.lax.stop_gradient(n) for n in p["noises"]]
 
     def _encode(self, p, cond_img):
         if self.mode == "add_dwt":

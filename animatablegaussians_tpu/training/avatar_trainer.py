@@ -205,12 +205,16 @@ def make_train_step(avatar_net, optimizer, *, loss_weight: dict,
                     patch_size: int = 512, random_patch_after: int = 300_000,
                     donate: bool = True, axis_name: Optional[str] = None,
                     img_w: Optional[int] = None, img_h: Optional[int] = None,
-                    jit: bool = True):
+                    jit: bool = True, discard_on_overflow: bool = True):
     """Build the jitted single-example train step. With ``axis_name`` the
     gradients are pmean-ed across that mesh axis before the update (the
     data-parallel path; the reference has no equivalent, SURVEY.md §2.9).
     ``jit=False`` returns the raw step for callers that compose it further
-    (e.g. make_train_scan)."""
+    (e.g. make_train_scan). ``discard_on_overflow=False`` keeps the update
+    even when the binning caps materially overflowed — only for tests and
+    fixtures that intentionally run with undersized caps; production runs
+    want the default (never train on cropped gradients; the driver then
+    re-autosizes and replays the item, training/driver.py)."""
 
     def loss_fn(params, items, rng, iter_idx):
         return compute_losses(
@@ -229,7 +233,7 @@ def make_train_step(avatar_net, optimizer, *, loss_weight: dict,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.iter_idx + 1)
-        if "n_overflow" in terms:
+        if discard_on_overflow and "n_overflow" in terms:
             # Never train on cropped gradients: if the static binning caps
             # materially overflowed (the CUDA reference can't, it sizes
             # buffers per frame — rasterizer_impl.cu:278-309), discard the

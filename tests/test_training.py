@@ -14,9 +14,13 @@ def _tiny_avatar(map_h=64, img=64):
     from animatablegaussians_tpu.utils import synthetic
 
     pos, nml, lbs = synthetic.make_cano_map(map_h=map_h)
+    # k_max=4096/max_dup=16 cover the random-init CNN's blown radii at 64^2
+    # with n_overflow=0 (k_max=128/max_dup=8 dropped ~80% of pairs, which
+    # trips the never-train-on-cropped-gradients update discard in
+    # make_train_step and left iter_idx/params frozen)
     net = AvatarNet({"with_viewdirs": True, "channel_max": 32},
                     pos, lbs, cano_nml_map=nml,
-                    raster_config=RasterizeConfig(k_max=128, max_dup=8))
+                    raster_config=RasterizeConfig(k_max=4096, max_dup=16))
     params = net.init(jax.random.PRNGKey(0))
     items = {k: jnp.asarray(v)
              for k, v in synthetic.make_items(img_w=img, img_h=img,
