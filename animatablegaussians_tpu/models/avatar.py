@@ -544,7 +544,11 @@ class AvatarNet:
         pose_maps = items_seq[key][..., :3]                # (F, S, S, 3)
 
         if self.with_viewdirs:
-            vmaps = jax.vmap(self._viewdir_half_map)(items_seq)
+            # vmap only over the leaves _viewdir_half_map actually reads —
+            # callers may carry per-sequence (unstacked) leaves in items_seq
+            vd_items = {k: items_seq[k]
+                        for k in ("cano2live_jnt_mats", "extr")}
+            vmaps = jax.vmap(self._viewdir_half_map)(vd_items)
             front_vd, back_vd = self._encode_viewdirs(params, vmaps)
         else:
             front_vd = back_vd = None
