@@ -157,6 +157,64 @@ def _gtc_bwd(scatter_pad, res, g):
 _gather_tiles_compressed.defvjp(_gtc_fwd, _gtc_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Ragged binning + chunk-data build in ONE pass: the 10 live row channels
+# ride the tile sort as payload operands (binning._expand_pairs), so the
+# blend kernels' (C, 16, KB) input comes from contiguous kb-slices of the
+# sorted arrays instead of a per-pair row gather. Mathematically
+# chunk_data == rows_sentinel[chunk_gid] (lanes >= chunk_n zeroed), so the
+# VJP w.r.t. rows is the same lane-padded scatter-add as _gather_tiles
+# (the CUDA atomicAdd accumulation, ref: backward.cu:555-598); binning's
+# integer bookkeeping gets no gradient, matching the previous composition's
+# stop_gradients.
+# ---------------------------------------------------------------------------
+
+
+def _splat_chunks_impl(rows, radii, valid, img_w, img_h, config):
+    from .binning import bin_gaussians_ragged
+    bins, chunk_data = bin_gaussians_ragged(
+        rows[:, :2], rows[:, 9], radii, valid, img_w, img_h,
+        tile=config.tile, max_dup=config.max_dup,
+        n_chunks=config.n_chunks, kb=config.chunk_kb,
+        max_active_tiles=config.max_active_tiles,
+        max_pairs=config.max_pairs,
+        payload=rows[:, :_N_LIVE_CH])
+    return chunk_data, bins
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _splat_chunks(rows, radii, valid, img_w: int, img_h: int, config):
+    return _splat_chunks_impl(rows, radii, valid, img_w, img_h, config)
+
+
+def _sc_fwd(rows, radii, valid, img_w, img_h, config):
+    chunk_data, bins = _splat_chunks_impl(rows, radii, valid, img_w, img_h,
+                                          config)
+    return (chunk_data, bins), (bins.chunk_gid, rows.shape)
+
+
+def _sc_bwd(img_w, img_h, config, res, ct):
+    chunk_gid, rows_shape = res
+    g = ct[0]                                       # (C, 16, KB) cotangent
+    N, C = rows_shape
+    g = jnp.swapaxes(g, 1, 2)                       # (C_chunks, KB, 16)
+    live = g[..., :_N_LIVE_CH].reshape(-1, _N_LIVE_CH)
+    pad = max(config.scatter_pad, _N_LIVE_CH)
+    up = jnp.concatenate(
+        [live, jnp.zeros((live.shape[0], pad - _N_LIVE_CH), g.dtype)],
+        axis=1)
+    # pad lanes carry gid == N: their (zero) grads land in the sliced-away
+    # sentinel row of the (N+1, pad) accumulator
+    acc = jnp.zeros((N + 1, pad), g.dtype).at[chunk_gid.reshape(-1)].add(up)
+    grad = jnp.zeros(rows_shape, g.dtype).at[:, :_N_LIVE_CH].set(
+        acc[:N, :_N_LIVE_CH])
+    f0 = lambda a: jnp.zeros(a.shape, jax.dtypes.float0)
+    return grad, f0(jnp.zeros((N,), jnp.int32)), f0(jnp.zeros((N,), bool))
+
+
+_splat_chunks.defvjp(_sc_fwd, _sc_bwd)
+
+
 def _blend(tile_data, tile_count, tile_ids, grid_x, tile, backend):
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "ref"
@@ -221,22 +279,14 @@ def render(
     A = min(config.max_active_tiles or T, T)
 
     if config.n_chunks > 0:
-        from .binning import bin_gaussians_ragged
         from .blend_pallas import blend_chunks
-        bins = bin_gaussians_ragged(
-            pre.means2d, pre.depths, pre.radii, pre.valid, img_w, img_h,
-            tile=config.tile, max_dup=config.max_dup,
-            n_chunks=config.n_chunks, kb=config.chunk_kb,
-            max_active_tiles=config.max_active_tiles,
-            max_pairs=config.max_pairs)
+        # binning + chunk-data build in one pass (payload-sort route; the
+        # rows channels NOT fed separately here — means2d/depths are rows
+        # channels 0:2 and 9)
+        chunk_data, bins = _splat_chunks(rows, pre.radii, pre.valid,
+                                         img_w, img_h, config)
         n_overflow = bins.n_overflow
         counts_a, tile_ids = bins.tile_count, bins.tile_ids
-        # sentinel zero row at index N receives pad-slot gathers (and their
-        # scatter-add grads, which the concatenate VJP then drops)
-        rows_s = jnp.concatenate(
-            [rows, jnp.zeros((1, rows.shape[1]), rows.dtype)], axis=0)
-        chunk_data = _gather_tiles(rows_s, bins.chunk_gid,
-                                   config.scatter_pad)   # (C, 16, KB)
         out_a = blend_chunks(chunk_data, bins.chunk_n, bins.chunk_tid,
                              bins.chunk_first, bins.chunk_arow, A, grid_x,
                              config.tile)                # (A, P, 8)

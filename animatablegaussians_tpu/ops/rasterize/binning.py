@@ -93,10 +93,11 @@ def _segment_owner(offsets, n_seg: int, n_slots: int):
 
 
 def _expand_pairs(means2d, depths, radii, valid, grid_x: int, grid_y: int,
-                  tile: int, max_dup: int, max_pairs: int):
+                  tile: int, max_dup: int, max_pairs: int, payload=None):
     """Pipeline steps 1-3: depth order -> compact pair expansion -> stable
     tile sort over ONLY ``max_pairs`` slots. Returns (sorted_key,
-    sorted_gid, starts, counts, build_overflow, n_pairs, order).
+    sorted_gid, starts, counts, build_overflow, n_pairs, order[,
+    sorted_payload]).
 
     The round-2 layout materialized (N, max_dup) duplication arrays and
     sorted N*max_dup entries (17M at bench scale, 173 ms) although only
@@ -106,7 +107,16 @@ def _expand_pairs(means2d, depths, radii, valid, grid_x: int, grid_y: int,
     (autosize sizes it at ~1.5x the true pair count). Expansion is in
     depth order, so a budget overrun drops the FARTHEST Gaussians' pairs
     (counted in the overflow). Pair-list semantics match the CUDA flat
-    duplication + radix sort (ref: rasterizer_impl.cu:278-309)."""
+    duplication + radix sort (ref: rasterizer_impl.cu:278-309).
+
+    ``payload`` (N, P) f32: per-Gaussian data that RIDES the pipeline —
+    gathered once into depth order (amortized into the packed gather),
+    carried through the per-slot owner gather (bitcast-packed with the int
+    fields: one row gather, per-INDEX cost is flat in width), and sorted as
+    extra payload operands (measured flat in payload count on v5e). The
+    sorted payload lands CONTIGUOUSLY per tile, so downstream consumers
+    slice kb-blocks instead of paying a per-pair row gather (~38 ms at
+    bench scale — the round-5 render headline win)."""
     T = grid_x * grid_y
     N = means2d.shape[0]
     S = max_pairs
@@ -116,6 +126,9 @@ def _expand_pairs(means2d, depths, radii, valid, grid_x: int, grid_y: int,
     # means2d gather below drags a useless 524k scatter into the backward.
     means2d = jax.lax.stop_gradient(means2d)
     depths = jax.lax.stop_gradient(depths)
+    P = 0 if payload is None else payload.shape[1]
+    if P:
+        payload = jax.lax.stop_gradient(payload)
 
     # 1. Depth order over Gaussians (invalid sink to the back).
     depth_key = jnp.where(valid, depths, jnp.inf).astype(jnp.float32)
@@ -123,9 +136,11 @@ def _expand_pairs(means2d, depths, radii, valid, grid_x: int, grid_y: int,
 
     # One packed gather instead of three (per-index cost dominates TPU
     # gathers — 3x 524k-row gathers showed as ~15 ms in the trace).
-    packed = jnp.concatenate(
-        [means2d, radii.astype(means2d.dtype)[:, None],
-         valid.astype(means2d.dtype)[:, None]], axis=1)       # (N, 4)
+    parts = [means2d, radii.astype(means2d.dtype)[:, None],
+             valid.astype(means2d.dtype)[:, None]]
+    if P:
+        parts.append(payload)
+    packed = jnp.concatenate(parts, axis=1)                   # (N, 4[+P])
     packed = packed[order]
     xy = packed[:, :2]
     r = packed[:, 2].astype(jnp.int32)
@@ -146,10 +161,24 @@ def _expand_pairs(means2d, depths, radii, valid, grid_x: int, grid_y: int,
     g_c = jnp.clip(g, 0, N - 1)
     slot_valid = s_idx < total
     # one packed int32 row gather for the per-slot fields (offs values can
-    # exceed 2^24, so no f32 packing)
+    # exceed 2^24, so no f32 packing — the f32 payload columns ride along
+    # bitcast INTO the int32 domain: int-bit-patterns-as-f32 would be
+    # denormals (any int < 2^23) and the TPU flushes those to zero inside
+    # the fused gather chain, measured; f32-bits-as-int32 is inert)
     pk = jnp.stack([rx0, ry0, jnp.maximum(width, 1), offs[:N], order],
                    axis=1)                                     # (N, 5) i32
-    pkg = pk[g_c]                                              # (S, 5)
+    if P:
+        pk_all = jnp.concatenate(
+            [pk, jax.lax.bitcast_convert_type(packed[:, 4:4 + P],
+                                              jnp.int32)],
+            axis=1)                                            # (N, 5+P) i32
+        pkg_all = pk_all[g_c]                                  # (S, 5+P)
+        pkg = pkg_all[:, :5]
+        slot_payload = jnp.where(
+            slot_valid[:, None],
+            jax.lax.bitcast_convert_type(pkg_all[:, 5:], jnp.float32), 0.0)
+    else:
+        pkg = pk[g_c]                                          # (S, 5)
     j = s_idx - pkg[:, 3]
     w_g = pkg[:, 2]
     ty = pkg[:, 1] + j // w_g
@@ -157,16 +186,21 @@ def _expand_pairs(means2d, depths, radii, valid, grid_x: int, grid_y: int,
     key = jnp.where(slot_valid, ty * grid_x + tx, T).astype(jnp.int32)
     gid = jnp.where(slot_valid, pkg[:, 4], N).astype(jnp.int32)
 
-    # 3. Stable tile sort (preserves depth order within tiles).
-    sorted_key, sorted_gid = jax.lax.sort(
-        (key, gid), num_keys=1, is_stable=True)
+    # 3. Stable tile sort (preserves depth order within tiles); the payload
+    # columns ride as extra sort operands (measured flat in operand count).
+    ops = (key, gid) + tuple(slot_payload[:, i] for i in range(P))
+    res = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    sorted_key, sorted_gid = res[0], res[1]
 
     starts = jnp.searchsorted(sorted_key, jnp.arange(T + 1, dtype=jnp.int32),
                               side="left").astype(jnp.int32)
     counts = starts[1:] - starts[:-1]                          # (T,)
     pair_overflow = jnp.maximum(total - S, 0)
-    return (sorted_key, sorted_gid, starts, counts,
-            rect_overflow + pair_overflow, jnp.sum(ntiles), order)
+    out = (sorted_key, sorted_gid, starts, counts,
+           rect_overflow + pair_overflow, jnp.sum(ntiles), order)
+    if P:
+        out += (jnp.stack(res[2:], axis=1),)                   # (S, P)
+    return out
 
 
 def _resolve_max_pairs(max_pairs: int, n: int, max_dup: int) -> int:
@@ -277,20 +311,32 @@ def bin_gaussians_ragged(
     kb: int = 128,
     max_active_tiles: int = 0,
     max_pairs: int = 0,
-) -> RaggedBins:
+    payload=None,
+):
     """Flat chunked binning (see RaggedBins). Each active tile's pair list
     occupies ceil(count/kb) consecutive kb-wide chunks; within-tile pairs
     are never capped. Pad slots point at gaussian id N (callers append a
-    zero sentinel row)."""
+    zero sentinel row).
+
+    With ``payload`` (N, P) f32 the per-Gaussian data rides the tile sort
+    (see _expand_pairs) and the return value becomes
+    ``(bins, chunk_payload)`` with chunk_payload (C, 16, kb) laid out
+    exactly like the blend kernels' input (P <= 16 live channels, zero pad;
+    lanes >= chunk_n zeroed) — equal to ``rows_sentinel[chunk_gid]``
+    swapaxes'd, but built from contiguous kb-slices of the sorted payload
+    instead of a per-pair row gather (per-INDEX cost ~35 ns on v5e: the
+    gather was ~38 ms at bench scale, the slices ~1 ms)."""
     grid_x = -(-img_w // tile)
     grid_y = -(-img_h // tile)
     T = grid_x * grid_y
     N = means2d.shape[0]
     S_pairs = _resolve_max_pairs(max_pairs, N, max_dup)
 
+    res = _expand_pairs(means2d, depths, radii, valid, grid_x, grid_y,
+                        tile, max_dup, S_pairs, payload=payload)
     (sorted_key, sorted_gid, starts, counts, build_overflow, n_pairs,
-     order) = _expand_pairs(means2d, depths, radii, valid, grid_x, grid_y,
-                            tile, max_dup, S_pairs)
+     order) = res[:7]
+    sorted_payload = res[7] if payload is not None else None
 
     A = min(max_active_tiles or T, T)
     if A < T:
@@ -328,7 +374,12 @@ def bin_gaussians_ragged(
     chunk_tid = pkc[:, 3].astype(jnp.int32)
 
     # contiguous kb-block gather out of the sorted pair list (pad chunks
-    # point at the sentinel tail; lanes beyond chunk_n masked to N below)
+    # point at the sentinel tail; lanes beyond chunk_n masked to N below).
+    # Invariant: for in-range chunks, starts_a[arow] + counts_a[arow]
+    # <= S_pairs by construction (starts/counts come from searchsorted over
+    # the S_pairs-slot sorted key array), so the min() clamp below is dead
+    # code for valid lanes — it only guards pad chunks, whose lanes the
+    # chunk_n mask zeroes anyway.
     src0 = jnp.where(in_range, jnp.minimum(pkc[:, 1] + k0, S_pairs),
                      S_pairs)
     gid_pad = jnp.concatenate(
@@ -340,7 +391,7 @@ def bin_gaussians_ragged(
     # pairs in tiles (or tile tails) beyond the chunk budget
     chunk_overflow = jnp.sum(counts_a) - jnp.sum(chunk_n)
 
-    return RaggedBins(
+    bins = RaggedBins(
         chunk_gid=gid,
         chunk_n=chunk_n, chunk_arow=chunk_arow, chunk_tid=chunk_tid,
         chunk_first=chunk_first,
@@ -349,3 +400,24 @@ def bin_gaussians_ragged(
                     + chunk_overflow).astype(jnp.int32),
         n_pairs=n_pairs.astype(jnp.int32),
         order=order)
+    if sorted_payload is None:
+        return bins
+
+    # contiguous kb-block slices of the sorted payload -> (C, kb, P); same
+    # CLIP-padded sentinel tail handling as the gid gather above
+    Pch = sorted_payload.shape[1]
+    sp = jnp.concatenate(
+        [sorted_payload, jnp.zeros((kb, Pch), sorted_payload.dtype)], axis=0)
+    blocks = jax.lax.gather(
+        sp, src0[:, None],
+        jax.lax.GatherDimensionNumbers(offset_dims=(1, 2),
+                                       collapsed_slice_dims=(),
+                                       start_index_map=(0,)),
+        slice_sizes=(kb, Pch),
+        mode=jax.lax.GatherScatterMode.CLIP)                   # (C, kb, P)
+    blocks = jnp.where((lane < chunk_n[:, None])[..., None], blocks, 0.0)
+    chunk_payload = jnp.swapaxes(blocks, 1, 2)                 # (C, P, kb)
+    if Pch < 16:
+        chunk_payload = jnp.pad(chunk_payload,
+                                ((0, 0), (0, 16 - Pch), (0, 0)))
+    return bins, chunk_payload

@@ -401,3 +401,47 @@ def test_compressed_gather_vjp_matches_padded():
         r, bins.tile_gid, 128)))(rows)
     np.testing.assert_allclose(np.asarray(g_comp), np.asarray(g_pad),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_payload_sort_chunk_data_matches_gather():
+    """The payload-sort chunk-data build (rows ride the tile sort,
+    api._splat_chunks) must equal the per-pair row gather it replaced:
+    rows_sentinel[chunk_gid] with lanes >= chunk_n zeroed."""
+    from animatablegaussians_tpu.ops.rasterize.api import (_pack_rows,
+                                                           _splat_chunks)
+    from animatablegaussians_tpu.ops.rasterize.preprocess import preprocess
+
+    means, scales, q, opac, colors, extr, intr = make_scene(n=400, seed=7)
+    cfg = RasterizeConfig(max_dup=16, n_chunks=64)
+    pre = preprocess(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(q),
+                     *_full_projection_traced(jnp.asarray(extr),
+                                              jnp.asarray(intr), W, H),
+                     W / (2 * intr[0, 0]), H / (2 * intr[1, 1]), W, H)
+    rows = _pack_rows(pre, jnp.asarray(opac), jnp.asarray(colors))
+
+    chunk_data, bins = _splat_chunks(rows, pre.radii, pre.valid, W, H, cfg)
+
+    rows_s = jnp.concatenate([rows, jnp.zeros((1, 16))], axis=0)
+    want = jnp.swapaxes(rows_s[bins.chunk_gid], 1, 2)       # (C, 16, KB)
+    np.testing.assert_allclose(np.asarray(chunk_data), np.asarray(want),
+                               atol=0, rtol=0)
+
+    # backward: d rows from the payload route == autodiff of the gather
+    ct = jnp.asarray(np.random.default_rng(0).standard_normal(
+        chunk_data.shape), jnp.float32)
+
+    def via_payload(r):
+        cd, _ = _splat_chunks(r, pre.radii, pre.valid, W, H, cfg)
+        return jnp.vdot(cd, ct)
+
+    def via_gather(r):
+        rs = jnp.concatenate([r, jnp.zeros((1, 16))], axis=0)
+        return jnp.vdot(jnp.swapaxes(rs[bins.chunk_gid], 1, 2), ct)
+
+    g_p = jax.grad(via_payload)(rows)
+    g_g = jax.grad(via_gather)(rows)
+    # the gather route backprops into all 16 channels; the splat one only
+    # into the 10 live ones (6 pad channels carry no data)
+    np.testing.assert_allclose(np.asarray(g_p[:, :10]),
+                               np.asarray(g_g[:, :10]), atol=1e-4, rtol=1e-5)
+    assert np.all(np.asarray(g_p[:, 10:]) == 0.0)
