@@ -200,21 +200,180 @@ def compute_losses(avatar_net, params, items, rng, iter_idx, *,
     return total, terms
 
 
+def compute_losses_batched(avatar_net, params, batch, rngs, iter_idx, *,
+                           loss_weight: dict, lpips_params=None,
+                           random_bg_color: bool = True,
+                           patch_size: int = 512,
+                           random_patch_after: int = 300_000,
+                           img_w: Optional[int] = None,
+                           img_h: Optional[int] = None):
+    """Mean loss over a per-chip batch of B examples (leading (B,) axis on
+    every ``batch`` leaf; ``rngs`` is (B, 2) keys — item b uses rngs[b]
+    exactly as the single step uses its rng, so B=1 reproduces
+    compute_losses bit-for-bit).
+
+    The throughput design transplants ``AvatarNet.render_sequence``'s
+    batching (models/avatar.py) to the TRAIN path: the constant style makes
+    the three DualStyleUNet heads' modulated weights item-invariant, so the
+    B pose maps run as ONE batch-B conv stack forward AND backward (batch-1
+    convs at these shapes reach only a few % MXU utilization, BASELINE.md);
+    LPIPS runs once on the B stacked crops; only the per-item splat tail
+    (binning shapes are per-frame) runs under lax.map. The mean over B
+    matches the data-parallel pmean semantics exactly — a per-chip batch of
+    B is B more DP devices (parallel/data_parallel.py), and the reference's
+    own accumulation is serial batch-1 (ref: main_avatar.py:166-264,
+    configs/avatarrex_zzr/avatar.yaml:47 batch_size 1)."""
+    if avatar_net.random_style:
+        raise NotImplementedError(
+            "random_style breaks the shared-weight head batching — "
+            "use the batch-1 step")
+    B = rngs.shape[0]
+    r3 = jax.vmap(lambda k: jax.random.split(k, 3))(rngs)   # (B, 3, 2)
+    rng_bg, rng_net, rng_crop = r3[:, 0], r3[:, 1], r3[:, 2]
+    if random_bg_color:
+        bg = jax.vmap(lambda k: jax.random.uniform(k, (3,)))(rng_bg)
+    else:
+        bg = jnp.ones((B, 3), jnp.float32)
+
+    pose_maps = batch["smpl_pos_map"][..., :3]              # (B, S, S, 3)
+    if avatar_net.with_viewdirs:
+        # render() splits its rng once more before the viewdir jitter
+        # (models/avatar.py render) — replicate for B=1 bit-exactness
+        vd_rng = jax.vmap(lambda k: jax.random.split(k)[1])(rng_net)
+        vd_items = {k: batch[k] for k in ("cano2live_jnt_mats", "extr")}
+        vmaps = jax.vmap(avatar_net._viewdir_half_map)(vd_items, vd_rng)
+        front_vd, back_vd = avatar_net._encode_viewdirs(params, vmaps)
+    else:
+        front_vd = back_vd = None
+
+    pos_out, other_out, color_out = avatar_net._head_outputs(
+        params, pose_maps, front_vd, back_vd, None)
+
+    w_l1 = float(loss_weight.get("l1", 0.0))
+    w_mask = float(loss_weight.get("mask", 0.0))
+    w_ssim = float(loss_weight.get("ssim", 0.0))
+    w_lp = float(loss_weight.get("lpips", 0.0))
+    if w_lp > 0 and lpips_params is None:
+        raise RuntimeError("loss_weight.lpips > 0 but lpips_params is None")
+
+    def body(xs):
+        items, po, oo, co, bgf, kc = xs
+        out = avatar_net._finish_render(params, items, po[None], oo[None],
+                                        co[None], bgf, img_w, img_h, None,
+                                        training=True)
+        image = out["rgb_map"]
+        mask = items["mask_img"].astype(jnp.float32)
+        bnd = 1.0 - items["boundary_mask_img"].astype(jnp.float32)
+        gt = jnp.where(mask[..., None] > 0.5, items["color_img"],
+                       bgf[None, None, :])
+        image = image * bnd[..., None] + (1.0 - bnd[..., None]) * bgf
+        gt = gt * bnd[..., None] + (1.0 - bnd[..., None]) * bgf
+
+        terms = {}
+        if w_l1 > 0:
+            terms["l1_loss"] = jnp.abs(image - gt).mean()
+        if w_mask > 0:
+            terms["mask_loss"] = jnp.abs(out["mask_map"] * bnd
+                                         - mask * bnd).mean()
+        if w_ssim > 0:
+            terms["ssim_loss"] = L.ssim_loss(image, gt)
+        terms["offset_loss"] = L.offset_loss(out["offset"])
+        terms["n_overflow"] = jax.lax.stop_gradient(
+            out["n_overflow"]).astype(jnp.float32)
+        terms["n_pairs"] = jax.lax.stop_gradient(
+            out["n_pairs"]).astype(jnp.float32)
+
+        crops = ()
+        if w_lp > 0:
+            def crop(use_random):
+                r = kc if use_random else None
+                return tuple(L.crop_to_mask([image, gt], mask, patch_size,
+                                            rng=r))
+            crops = jax.lax.cond(iter_idx >= random_patch_after,
+                                 lambda: crop(True), lambda: crop(False))
+        return terms, crops
+
+    terms_b, crops = jax.lax.map(
+        body, (batch, pos_out, other_out, color_out, bg, rng_crop))
+
+    terms = {k: v.mean() for k, v in terms_b.items()
+             if k not in ("n_overflow", "n_pairs")}
+    # overflow accounting sums over the batch (the discard threshold is a
+    # fraction of total true pairs, matching the single step's semantics)
+    terms["n_overflow"] = terms_b["n_overflow"].sum()
+    terms["n_pairs"] = terms_b["n_pairs"].sum()
+
+    total = 0.0
+    if w_l1 > 0:
+        total += w_l1 * terms["l1_loss"]
+    if w_mask > 0:
+        total += w_mask * terms["mask_loss"]
+    if w_ssim > 0:
+        total += w_ssim * terms["ssim_loss"]
+    if w_lp > 0:
+        img_c, gt_c = crops                                  # (B, p, p, 3)
+        lp = lpips_fn(lpips_params, img_c, gt_c, normalize=True).mean()
+        total += w_lp * lp
+        terms["lpips_loss"] = lp
+    total += float(loss_weight.get("offset", 0.0)) * terms["offset_loss"]
+    terms["total_loss"] = total
+    return total, terms
+
+
+def make_train_step_batched(avatar_net, optimizer, *, loss_weight: dict,
+                            lpips_params=None, random_bg_color: bool = True,
+                            patch_size: int = 512,
+                            random_patch_after: int = 300_000,
+                            donate: bool = True,
+                            axis_name: Optional[str] = None,
+                            img_w: Optional[int] = None,
+                            img_h: Optional[int] = None, jit: bool = True):
+    """make_train_step over a per-chip batch: ``step(state, batch, rngs)``
+    where every ``batch`` leaf has a leading (B,) axis and ``rngs`` is
+    (B, 2). One optimizer update per call on the MEAN gradient over B —
+    identical semantics to B data-parallel devices (and composes with DP:
+    with ``axis_name`` the batch-mean grads are further pmean-ed across the
+    mesh, giving global batch B * n_devices)."""
+
+    def loss_fn(params, batch, rngs, iter_idx):
+        return compute_losses_batched(
+            avatar_net, params, batch, rngs, iter_idx,
+            loss_weight=loss_weight, lpips_params=lpips_params,
+            random_bg_color=random_bg_color, patch_size=patch_size,
+            random_patch_after=random_patch_after, img_w=img_w, img_h=img_h)
+
+    def step(state: TrainState, batch, rngs):
+        (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rngs, state.iter_idx)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            terms = jax.lax.pmean(terms, axis_name)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.iter_idx + 1)
+        if "n_overflow" in terms:
+            bad = terms["n_overflow"] > OVERFLOW_TOL * terms["n_pairs"]
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(bad, old, new), new_state, state)
+        return new_state, terms
+
+    if axis_name is not None or not jit:
+        return step
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_train_step(avatar_net, optimizer, *, loss_weight: dict,
                     lpips_params=None, random_bg_color: bool = True,
                     patch_size: int = 512, random_patch_after: int = 300_000,
                     donate: bool = True, axis_name: Optional[str] = None,
                     img_w: Optional[int] = None, img_h: Optional[int] = None,
-                    jit: bool = True, discard_on_overflow: bool = True):
+                    jit: bool = True):
     """Build the jitted single-example train step. With ``axis_name`` the
     gradients are pmean-ed across that mesh axis before the update (the
     data-parallel path; the reference has no equivalent, SURVEY.md §2.9).
     ``jit=False`` returns the raw step for callers that compose it further
-    (e.g. make_train_scan). ``discard_on_overflow=False`` keeps the update
-    even when the binning caps materially overflowed — only for tests and
-    fixtures that intentionally run with undersized caps; production runs
-    want the default (never train on cropped gradients; the driver then
-    re-autosizes and replays the item, training/driver.py)."""
+    (e.g. make_train_scan)."""
 
     def loss_fn(params, items, rng, iter_idx):
         return compute_losses(
@@ -233,7 +392,7 @@ def make_train_step(avatar_net, optimizer, *, loss_weight: dict,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.iter_idx + 1)
-        if discard_on_overflow and "n_overflow" in terms:
+        if "n_overflow" in terms:
             # Never train on cropped gradients: if the static binning caps
             # materially overflowed (the CUDA reference can't, it sizes
             # buffers per frame — rasterizer_impl.cu:278-309), discard the

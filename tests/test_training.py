@@ -459,3 +459,77 @@ def test_overflow_discards_update():
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         state2.params, state.params)
+
+
+def test_batched_step_b1_matches_single():
+    """make_train_step_batched with B=1 reproduces make_train_step
+    bit-for-bit (same rng plumbing, same losses, same update)."""
+    from animatablegaussians_tpu.training import avatar_trainer as at
+    from animatablegaussians_tpu.training.lpips import init_random
+    from animatablegaussians_tpu.utils import synthetic
+
+    net, params, items = _tiny_avatar()
+    opt = at.make_optimizer(lr_init=5e-4, iter_num=100)
+    kw = dict(loss_weight=dict(l1=1.0, mask=0.1, lpips=0.01, offset=0.005),
+              lpips_params=init_random(jax.random.PRNGKey(7)),
+              patch_size=32, random_patch_after=10_000,
+              img_w=64, img_h=64, donate=False)
+    state = at.TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+    rng = jax.random.PRNGKey(3)
+    s1, terms1 = at.make_train_step(net, opt, **kw)(state, items, rng)
+
+    batch = {k: v[None] for k, v in items.items()}
+    sb, termsb = at.make_train_step_batched(net, opt, **kw)(
+        state, batch, rng[None])
+
+    np.testing.assert_allclose(float(termsb["total_loss"]),
+                               float(terms1["total_loss"]),
+                               rtol=1e-6, atol=1e-7)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        sb.params, s1.params)
+    assert int(sb.iter_idx) == 1
+
+
+def test_batched_step_b2_means_gradients():
+    """B=2 batched loss/grads == mean of the two single-item losses/grads
+    (the DP-equivalence the batched step's semantics rest on)."""
+    from animatablegaussians_tpu.training import avatar_trainer as at
+    from animatablegaussians_tpu.training.lpips import init_random
+    from animatablegaussians_tpu.utils import synthetic
+
+    net, params, _ = _tiny_avatar()
+    pos, _, _ = synthetic.make_cano_map(map_h=64)
+    items_l = [synthetic.make_items(img_w=64, img_h=64, seed=i,
+                                    cano_pos_map=pos) for i in range(2)]
+    kw = dict(loss_weight=dict(l1=1.0, mask=0.1, lpips=0.01, offset=0.005),
+              lpips_params=init_random(jax.random.PRNGKey(7)),
+              patch_size=32, random_patch_after=10_000,
+              img_w=64, img_h=64)
+    rngs = jax.random.split(jax.random.PRNGKey(9), 2)
+    it0 = jnp.zeros((), jnp.int32)
+
+    def single_lg(items, rng):
+        items = {k: jnp.asarray(v) for k, v in items.items()}
+        return jax.value_and_grad(
+            lambda p: at.compute_losses(net, p, items, rng, it0, **kw)[0]
+        )(params)
+
+    l0, g0 = single_lg(items_l[0], rngs[0])
+    l1, g1 = single_lg(items_l[1], rngs[1])
+
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic.batch_items(items_l).items()}
+    lb, gb = jax.value_and_grad(
+        lambda p: at.compute_losses_batched(net, p, batch, rngs, it0,
+                                            **kw)[0])(params)
+
+    np.testing.assert_allclose(float(lb), 0.5 * (float(l0) + float(l1)),
+                               rtol=1e-6, atol=1e-7)
+    jax.tree.map(
+        lambda a, b, c: np.testing.assert_allclose(
+            np.asarray(a), 0.5 * (np.asarray(b) + np.asarray(c)),
+            rtol=1e-4, atol=1e-6),
+        gb, g0, g1)
