@@ -83,10 +83,13 @@ def _setup():
     from animatablegaussians_tpu.ops.rasterize import autosize as az
     from animatablegaussians_tpu.utils import synthetic
     net, params, _ = ge._build_avatar(
-        # remat off: after the wavelet-chain fusion the full-scale step fits
-        # HBM without rematerializing the decoders, and skipping the
-        # recompute is worth ~3% (1.886 -> 1.944 it/s measured)
-        map_h=MAP_H, img=IMG_W, raster_kw=RASTER_KW, remat=False)
+        # remat off by default: after the wavelet-chain fusion the B=1
+        # full-scale step fits HBM without rematerializing the decoders,
+        # and skipping the recompute is worth ~3% (1.886 -> 1.944 it/s
+        # measured). --remat turns it back on (needed to fit the batched
+        # step's B-fold decoder activations at --batch >= 4).
+        map_h=MAP_H, img=IMG_W, raster_kw=RASTER_KW,
+        remat="--remat" in sys.argv)
     params = _zero_head_outputs(params)
     pos, _, _ = synthetic.make_cano_map(map_h=MAP_H)
     items_np = synthetic.make_items(img_w=IMG_W, img_h=IMG_H,
@@ -134,6 +137,47 @@ def bench_train():
               img_w=IMG_W, img_h=IMG_H)
     items = {k: jnp.asarray(v) for k, v in items_np.items()}
     rng = jax.random.PRNGKey(0)
+
+    # --batch B: per-chip batch-B step (batched CNN heads + LPIPS, lax.map
+    # splat tail, mean grads == B DP devices; avatar_trainer.
+    # make_train_step_batched). Aggregate it/s = B items / step.
+    batch_n = 0
+    if "--batch" in sys.argv:
+        i = sys.argv.index("--batch")
+        batch_n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 4
+    if batch_n:
+        from animatablegaussians_tpu.utils import synthetic
+        pos, _, _ = synthetic.make_cano_map(map_h=MAP_H)
+        batch = synthetic.batch_items(
+            [synthetic.make_items(img_w=IMG_W, img_h=IMG_H, seed=i,
+                                  cano_pos_map=pos)
+             for i in range(batch_n)])
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        step = at.make_train_step_batched(net, optimizer, **kw)
+        for i in range(WARMUP):
+            rngs = jax.random.split(jax.random.fold_in(rng, i), batch_n)
+            state, terms = step(state, batch, rngs)
+        jax.block_until_ready(state.params)
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            rngs = jax.random.split(jax.random.fold_in(rng, 100 + i),
+                                    batch_n)
+            state, terms = step(state, batch, rngs)
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        it_s = ITERS * batch_n / dt
+        n_overflow = int(terms["n_overflow"])
+        print(f"batch={batch_n}: {ITERS / dt:.3f} steps/s -> {it_s:.3f} "
+              f"items/s; n_overflow={n_overflow}", file=sys.stderr)
+        assert n_overflow == 0, (
+            f"binning caps dropped {n_overflow} pairs — autosizing failed")
+        print(json.dumps({
+            "metric": "avatar_train_step",
+            "value": round(it_s, 3),
+            "unit": "it/s",
+            "vs_baseline": round(it_s / A100_BASELINE_IT_S, 3),
+        }))
+        return
 
     if scan_n:
         scan = at.make_train_scan(
@@ -250,6 +294,97 @@ def bench_fps():
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / A100_BASELINE_RENDER_FPS, 3),
+    }))
+
+
+def bench_overfit():
+    """On-chip learning evidence at the BENCHED configuration (bf16 MXU
+    passes, ragged layout, Mosaic kernels, full AvatarReX shapes): overfit
+    one fixed frame whose GT comes from a perturbed copy of the net, and
+    report the masked-PSNR trajectory. The CPU variant runs at 64^2 in CI
+    (tests/test_training.py::test_main_loss_pipeline_overfits_one_frame);
+    this is the same pipeline where the official numbers are measured —
+    kernel-value gates prove values, this proves training DYNAMICS on the
+    hardware. ``--steps N`` (default 300)."""
+    import jax
+    import jax.numpy as jnp
+    from animatablegaussians_tpu.training import avatar_trainer as at
+    from animatablegaussians_tpu.training.lpips import init_random
+
+    net, params, items_np = _setup()
+    items = {k: jnp.asarray(v) for k, v in items_np.items()}
+
+    steps = (int(sys.argv[sys.argv.index("--steps") + 1])
+             if "--steps" in sys.argv else 300)
+
+    # GT target: perturb the COLOR net broadly plus the (zeroed) position
+    # ToRGB weights slightly — visibly different colors + small geometry
+    # offsets, while the other-net stays zeroed so scales/opacities keep
+    # the create_from_pcd distribution the caps were autosized for.
+    rng = jax.random.PRNGKey(11)
+    leaves, treedef = jax.tree.flatten(params["color_net"])
+    keys = jax.random.split(rng, len(leaves))
+    noisy = [l + 0.05 * jax.random.normal(k, l.shape) if l.ndim >= 2 else l
+             for l, k in zip(leaves, keys)]
+    params_gt = dict(params, color_net=jax.tree.unflatten(treedef, noisy))
+    pos_rgbs = []
+    kpos = jax.random.PRNGKey(13)
+    for p in (params["position_net"]["to_rgbs1"]
+              + params["position_net"]["to_rgbs2"]):
+        kpos, sub = jax.random.split(kpos)
+        w = p["conv"]["weight"]
+        pos_rgbs.append(0.02 * jax.random.normal(sub, w.shape))
+    pgt_pos = jax.tree.map(lambda x: x, params["position_net"])
+    for p, w in zip(pgt_pos["to_rgbs1"] + pgt_pos["to_rgbs2"], pos_rgbs):
+        p["conv"]["weight"] = w
+    params_gt["position_net"] = pgt_pos
+
+    bg = jnp.ones((3,), jnp.float32)
+    render = jax.jit(lambda p: net.render(p, items, bg_color=bg,
+                                          img_w=IMG_W, img_h=IMG_H))
+    gt = render(params_gt)
+    items = dict(items, color_img=gt["rgb_map"],
+                 mask_img=(gt["mask_map"] > 0.5).astype(jnp.float32))
+    mask3 = items["mask_img"][..., None]
+
+    @jax.jit
+    def psnr_of(p):
+        out = net.render(p, items, bg_color=bg, img_w=IMG_W, img_h=IMG_H)
+        mse = (((out["rgb_map"] - items["color_img"]) ** 2) * mask3).sum() \
+            / jnp.maximum(mask3.sum() * 3, 1.0)
+        return 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-10))
+
+    optimizer = at.make_optimizer(lr_init=1e-3, iter_num=800_000)
+    state = at.TrainState(params, optimizer.init(params),
+                          jnp.zeros((), jnp.int32))
+    step = at.make_train_step(
+        net, optimizer,
+        loss_weight=dict(l1=1.0, mask=0.5, lpips=0.05, offset=0.005),
+        lpips_params=init_random(jax.random.PRNGKey(7)),
+        patch_size=512, img_w=IMG_W, img_h=IMG_H)
+
+    psnr0 = float(psnr_of(state.params))
+    traj = [(0, psnr0)]
+    key = jax.random.PRNGKey(5)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, terms = step(state, items, jax.random.fold_in(key, i))
+        if (i + 1) % max(steps // 6, 1) == 0 or i + 1 == steps:
+            traj.append((i + 1, float(psnr_of(state.params))))
+            print(f"overfit step {i + 1}: masked PSNR "
+                  f"{traj[-1][1]:.2f} dB "
+                  f"(n_overflow={int(terms['n_overflow'])})",
+                  file=sys.stderr)
+    dt = time.perf_counter() - t0
+    psnr1 = traj[-1][1]
+    print(f"overfit: {psnr0:.2f} -> {psnr1:.2f} dB over {steps} steps "
+          f"({steps / dt:.2f} it/s incl. eval)", file=sys.stderr)
+    assert psnr1 > psnr0 + 3.0, (psnr0, psnr1)
+    print(json.dumps({
+        "metric": "avatar_overfit_psnr_gain",
+        "value": round(psnr1 - psnr0, 2),
+        "unit": "dB",
+        "vs_baseline": 1.0,
     }))
 
 
@@ -370,12 +505,19 @@ if __name__ == "__main__":
         # on-hardware correctness gate: pallas == reference blend (fwd+bwd,
         # rect+ragged) with the CURRENT backend's native kernels — run it
         # before capturing any official number (CI only exercises the
-        # kernels in interpreter mode, tests/conftest.py)
+        # kernels in interpreter mode, tests/conftest.py). The gate compiles
+        # ~20 small programs; without the persistent cache each run pays
+        # axon's slow compiler again (~11 min cold vs ~1 min warm measured).
+        from animatablegaussians_tpu.utils.jax_cache import \
+            enable_compilation_cache
+        enable_compilation_cache()
         from animatablegaussians_tpu.tools.verify_tpu import main as check
         sys.exit(check())
     if "--fps" in sys.argv:
         bench_fps()
     elif "--dp" in sys.argv:
         bench_dp()
+    elif "--overfit" in sys.argv:
+        bench_overfit()
     else:
         bench_train()
