@@ -28,9 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from animatablegaussians_tpu.ops import upfirdn2d
 from animatablegaussians_tpu.ops.upfirdn2d import (
     blur, downsample, fused_leaky_relu, haar_transform,
-    inverse_haar_transform, make_kernel, upfirdn2d, upsample,
+    inverse_haar_transform, make_kernel, space_to_depth2, upsample,
     wavelet_upsample)
 
 BLUR_KERNEL = (1, 3, 3, 1)
@@ -248,11 +249,8 @@ def _blur_conv_down(x, w, k):
     pd = (len(BLUR_KERNEL) - 2) + (k - 1)
     pl, pr = (pd + 1) // 2, pd // 2
     xp = jnp.pad(x, ((0, 0), (pl, pr), (pl, pr), (0, 0)))
-    n, hp, wp, c = xp.shape
-    assert hp % 2 == 0 and wp % 2 == 0
-    ph = xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
-    ph = ph.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * c)
-    return conv2d(ph, kall, padding=0)
+    assert xp.shape[1] % 2 == 0 and xp.shape[2] % 2 == 0
+    return conv2d(space_to_depth2(xp), kall, padding=0)
 
 
 def conv_layer(p, x, k, downsample_=False, activate=True):
@@ -347,10 +345,7 @@ def _up_conv_polyphase(xi, w):
     kall = q.reshape(4, k, k, ci, co).transpose(1, 2, 3, 0, 4) \
         .reshape(k, k, ci, 4 * co)                         # (k,k,in,4*out)
     o = conv2d(xi, kall, padding=k // 2)
-    n, h, wd, c4 = o.shape
-    c = c4 // 4
-    o = o.reshape(n, h, wd, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
-    return o.reshape(n, 2 * h, 2 * wd, c)
+    return upfirdn2d.depth_to_space2(o)
 
 
 def modulated_conv2d(p, x, style, demodulate=True, up=False):

@@ -55,6 +55,39 @@ def _norm_pad(pad) -> Tuple[int, int, int, int]:
     return tuple(pad)  # (px0, px1, py0, py1)
 
 
+def depth_to_space2(o: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, 4c) phase-major [a, b, c] channels -> (N, 2H, 2W, c).
+
+    Algebraically identical to ``reshape(n,h,w,2,2,c).transpose(0,1,3,2,4,5)
+    .reshape(n,2h,2w,c)`` but avoids the 6-D transpose: the column phase b is
+    already adjacent to c in memory, so the W-interleave is a FREE reshape of
+    each row half, and only the row interleave pays one stack copy. Measured
+    on v5e at (1,512,512,4c): c=3 3.92 -> 1.61 ms, c=16 3.51 -> 2.10 ms,
+    c=64 4.59 -> 4.53 ms — the transpose's strided copy is worst exactly at
+    the full-res few-channel ToRGB/output stages."""
+    n, h, w, c4 = o.shape
+    c = c4 // 4
+    r0 = o[..., :2 * c].reshape(n, h, 2 * w, c)    # a=0 rows
+    r1 = o[..., 2 * c:].reshape(n, h, 2 * w, c)    # a=1 rows
+    y = jnp.stack([r0, r1], axis=2)                # (N, H, 2, 2W, c)
+    return y.reshape(n, 2 * h, 2 * w, c)
+
+
+def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2H, 2W, c) -> (N, H, W, 4c) with phase-major [a, b, c] channels.
+
+    Inverse of depth_to_space2 and algebraically identical to
+    ``reshape(n,h,2,w,2,c).transpose(0,1,3,2,4,5).reshape(n,h,w,4c)`` minus
+    the 6-D transpose: column de-interleave is a free reshape per row half;
+    only the row split pays a (fusable) strided slice."""
+    n, h2, w2, c = x.shape
+    h, w = h2 // 2, w2 // 2
+    x2 = x.reshape(n, h, 2, w2, c)
+    r0 = x2[:, :, 0].reshape(n, h, w, 2 * c)       # a=0 rows, [b, c] chans
+    r1 = x2[:, :, 1].reshape(n, h, w, 2 * c)
+    return jnp.concatenate([r0, r1], axis=-1)
+
+
 # Pallas FIR path: "auto" enables ops/fir_pallas.py for separable kernels on
 # real TPU. Default "off": measured on v5e (round 3), the fused Pallas FIR is
 # numerically exact but SLOWER than the XLA conv path end-to-end (DualStyleUNet
@@ -184,10 +217,7 @@ def downsample(x: jnp.ndarray, kernel: np.ndarray, factor: int = 2) -> jnp.ndarr
             _DOWN_POLY_CACHE[key] = w
         w = _DOWN_POLY_CACHE[key]
         xp = jnp.pad(x, ((0, 0), (pad0, pad1), (pad0, pad1), (0, 0)))
-        n, hp, wp, _ = xp.shape
-        ph = xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
-        ph = ph.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2,
-                                                    4 * c)
+        ph = space_to_depth2(xp)
         return jax.lax.conv_general_dilated(
             ph, jnp.asarray(w, x.dtype), (1, 1), ((0, 0), (0, 0)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -259,9 +289,9 @@ def inverse_haar_transform(x: jnp.ndarray) -> jnp.ndarray:
                 term = (sg * float(k[a, b])) * s
                 acc = term if acc is None else acc + term
             phases.append(acc)
-    y = jnp.stack(phases, axis=3)              # (N, H, W, 4, C)
-    y = y.reshape(n, h, w, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
-    return y.reshape(n, 2 * h, 2 * w, c)
+    # phases are elementwise sums, so the concat fuses into their producers;
+    # only the row interleave inside depth_to_space2 pays a copy
+    return depth_to_space2(jnp.concatenate(phases, axis=-1))
 
 
 # ---------------------------------------------------------------------------
@@ -461,7 +491,4 @@ def wavelet_upsample(x: jnp.ndarray,
         x, jnp.asarray(kall, x.dtype), (1, 1), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=_fir_precision())
-    n, h, wd, c16 = o.shape
-    c4 = c16 // 4
-    o = o.reshape(n, h, wd, 2, 2, c4).transpose(0, 1, 3, 2, 4, 5)
-    return o.reshape(n, 2 * h, 2 * wd, c4)
+    return depth_to_space2(o)
