@@ -93,24 +93,35 @@ def _segment_owner(offsets, n_seg: int, n_slots: int):
 
 
 def _expand_pairs(means2d, depths, radii, valid, grid_x: int, grid_y: int,
-                  tile: int, max_dup: int, max_pairs: int, payload=None):
-    """Pipeline steps 1-3: depth order -> compact pair expansion -> stable
-    tile sort over ONLY ``max_pairs`` slots. Returns (sorted_key,
-    sorted_gid, starts, counts, build_overflow, n_pairs, order[,
-    sorted_payload]).
+                  tile: int, max_dup: int, max_pairs: int, payload=None,
+                  presort_depth: bool = False):
+    """Pipeline steps 1-3: compact pair expansion -> (tile, depth)
+    two-key stable sort over ONLY ``max_pairs`` slots. Returns
+    (sorted_key, sorted_gid, starts, counts, build_overflow, n_pairs,
+    order[, sorted_payload]).
 
     The round-2 layout materialized (N, max_dup) duplication arrays and
     sorted N*max_dup entries (17M at bench scale, 173 ms) although only
-    ~1M pairs were real. Here each depth-ordered Gaussian's pairs are laid
-    out contiguously via an exclusive cumsum of its tile count, slots find
+    ~1M pairs were real. Here each Gaussian's pairs are laid out
+    contiguously via an exclusive cumsum of its tile count, slots find
     their owner with _segment_owner, and the sort covers max_pairs slots
-    (autosize sizes it at ~1.5x the true pair count). Expansion is in
-    depth order, so a budget overrun drops the FARTHEST Gaussians' pairs
-    (counted in the overflow). Pair-list semantics match the CUDA flat
-    duplication + radix sort (ref: rasterizer_impl.cu:278-309).
+    (autosize sizes it at ~1.5x the true pair count).
+
+    Two expansion orders produce the SAME sorted pair list when nothing
+    overflows (equality-tested):
+      * default (presort_depth=False): expansion in raw Gaussian order;
+        depth rides the owner gather as a second sort key. Skips the N-key
+        depth argsort and the (N, 4+P) reorder gather entirely (both
+        per-index bound). The CUDA reference sorts (tile | depth-bits)
+        keys exactly like this (ref: rasterizer_impl.cu:70-138, 278-309).
+      * presort_depth=True: argsort Gaussians by depth first, expand in
+        depth order, and let a ONE-key stable tile sort preserve the
+        depth order. Slower, but a pair-budget overrun drops the
+        FARTHEST Gaussians' pairs, whereas raw order drops the
+        highest-INDEX ones — only observable while overflowing, a state
+        the trainer discards and self-heals anyway (training/driver.py).
 
     ``payload`` (N, P) f32: per-Gaussian data that RIDES the pipeline —
-    gathered once into depth order (amortized into the packed gather),
     carried through the per-slot owner gather (bitcast-packed with the int
     fields: one row gather, per-INDEX cost is flat in width), and sorted as
     extra payload operands (measured flat in payload count on v5e). The
@@ -130,21 +141,27 @@ def _expand_pairs(means2d, depths, radii, valid, grid_x: int, grid_y: int,
     if P:
         payload = jax.lax.stop_gradient(payload)
 
-    # 1. Depth order over Gaussians (invalid sink to the back).
-    depth_key = jnp.where(valid, depths, jnp.inf).astype(jnp.float32)
-    order = jnp.argsort(depth_key).astype(jnp.int32)          # (N,)
-
-    # One packed gather instead of three (per-index cost dominates TPU
-    # gathers — 3x 524k-row gathers showed as ~15 ms in the trace).
-    parts = [means2d, radii.astype(means2d.dtype)[:, None],
-             valid.astype(means2d.dtype)[:, None]]
-    if P:
-        parts.append(payload)
-    packed = jnp.concatenate(parts, axis=1)                   # (N, 4[+P])
-    packed = packed[order]
-    xy = packed[:, :2]
-    r = packed[:, 2].astype(jnp.int32)
-    v = packed[:, 3] > 0.5
+    depth_f = jnp.where(valid, depths, jnp.inf).astype(jnp.float32)
+    if presort_depth:
+        # 1. Depth order over Gaussians (invalid sink to the back), then
+        # one packed reorder gather instead of three (per-index cost
+        # dominates TPU gathers — 3x 524k-row gathers were ~15 ms).
+        order = jnp.argsort(depth_f).astype(jnp.int32)        # (N,)
+        parts = [means2d, radii.astype(means2d.dtype)[:, None],
+                 valid.astype(means2d.dtype)[:, None]]
+        if P:
+            parts.append(payload)
+        packed = jnp.concatenate(parts, axis=1)               # (N, 4[+P])
+        packed = packed[order]
+        xy = packed[:, :2]
+        r = packed[:, 2].astype(jnp.int32)
+        v = packed[:, 3] > 0.5
+        pay = packed[:, 4:4 + P]
+    else:
+        # raw Gaussian order: no argsort, no reorder gather — depth rides
+        # the owner gather below as the sort's second key instead
+        order = jnp.arange(N, dtype=jnp.int32)
+        xy, r, v, pay = means2d, radii, valid, payload
     rx0, ry0, rx1, ry1 = tile_rect(xy, r, grid_x, grid_y, tile)
     width = rx1 - rx0
     ntiles = width * (ry1 - ry0)
@@ -161,24 +178,26 @@ def _expand_pairs(means2d, depths, radii, valid, grid_x: int, grid_y: int,
     g_c = jnp.clip(g, 0, N - 1)
     slot_valid = s_idx < total
     # one packed int32 row gather for the per-slot fields (offs values can
-    # exceed 2^24, so no f32 packing — the f32 payload columns ride along
-    # bitcast INTO the int32 domain: int-bit-patterns-as-f32 would be
+    # exceed 2^24, so no f32 packing — the f32 depth/payload columns ride
+    # along bitcast INTO the int32 domain: int-bit-patterns-as-f32 would be
     # denormals (any int < 2^23) and the TPU flushes those to zero inside
     # the fused gather chain, measured; f32-bits-as-int32 is inert)
-    pk = jnp.stack([rx0, ry0, jnp.maximum(width, 1), offs[:N], order],
-                   axis=1)                                     # (N, 5) i32
+    cols = [jnp.stack([rx0, ry0, jnp.maximum(width, 1), offs[:N], order],
+                      axis=1)]                                 # (N, 5) i32
+    if not presort_depth:
+        cols.append(jax.lax.bitcast_convert_type(
+            depth_f, jnp.int32)[:, None])                      # (N, 1)
     if P:
-        pk_all = jnp.concatenate(
-            [pk, jax.lax.bitcast_convert_type(packed[:, 4:4 + P],
-                                              jnp.int32)],
-            axis=1)                                            # (N, 5+P) i32
-        pkg_all = pk_all[g_c]                                  # (S, 5+P)
-        pkg = pkg_all[:, :5]
-        slot_payload = jnp.where(
-            slot_valid[:, None],
-            jax.lax.bitcast_convert_type(pkg_all[:, 5:], jnp.float32), 0.0)
+        cols.append(jax.lax.bitcast_convert_type(pay, jnp.int32))
+    pk_all = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+    pkg_all = pk_all[g_c]                                      # (S, 5+1+P)
+    pkg = pkg_all[:, :5]
+    f32s = jax.lax.bitcast_convert_type(pkg_all[:, 5:], jnp.float32)
+    if not presort_depth:
+        slot_depth = jnp.where(slot_valid, f32s[:, 0], jnp.inf)
+        slot_payload = jnp.where(slot_valid[:, None], f32s[:, 1:], 0.0)
     else:
-        pkg = pk[g_c]                                          # (S, 5)
+        slot_payload = jnp.where(slot_valid[:, None], f32s, 0.0)
     j = s_idx - pkg[:, 3]
     w_g = pkg[:, 2]
     ty = pkg[:, 1] + j // w_g
@@ -186,11 +205,23 @@ def _expand_pairs(means2d, depths, radii, valid, grid_x: int, grid_y: int,
     key = jnp.where(slot_valid, ty * grid_x + tx, T).astype(jnp.int32)
     gid = jnp.where(slot_valid, pkg[:, 4], N).astype(jnp.int32)
 
-    # 3. Stable tile sort (preserves depth order within tiles); the payload
-    # columns ride as extra sort operands (measured flat in operand count).
-    ops = (key, gid) + tuple(slot_payload[:, i] for i in range(P))
-    res = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    sorted_key, sorted_gid = res[0], res[1]
+    # 3. Stable (tile[, depth]) sort; the payload columns ride as extra
+    # sort operands (measured flat in operand count). With depth-ordered
+    # slots one stable key preserves depth within tiles; in raw order
+    # depth is the explicit second key — both yield the reference's
+    # (tile, depth)-lexicographic pair list (rasterizer_impl.cu:70-138),
+    # with identical tie-breaks (ties sort by Gaussian index either way).
+    if presort_depth:
+        ops = (key, gid) + tuple(slot_payload[:, i] for i in range(P))
+        res = jax.lax.sort(ops, num_keys=1, is_stable=True)
+        sorted_key, sorted_gid = res[0], res[1]
+        pay0 = 2
+    else:
+        ops = (key, slot_depth, gid) + tuple(slot_payload[:, i]
+                                             for i in range(P))
+        res = jax.lax.sort(ops, num_keys=2, is_stable=True)
+        sorted_key, sorted_gid = res[0], res[2]
+        pay0 = 3
 
     starts = jnp.searchsorted(sorted_key, jnp.arange(T + 1, dtype=jnp.int32),
                               side="left").astype(jnp.int32)
@@ -199,7 +230,7 @@ def _expand_pairs(means2d, depths, radii, valid, grid_x: int, grid_y: int,
     out = (sorted_key, sorted_gid, starts, counts,
            rect_overflow + pair_overflow, jnp.sum(ntiles), order)
     if P:
-        out += (jnp.stack(res[2:], axis=1),)                   # (S, P)
+        out += (jnp.stack(res[pay0:], axis=1),)                # (S, P)
     return out
 
 
@@ -236,6 +267,7 @@ def bin_gaussians(
     k_max: int = 512,
     max_active_tiles: int = 0,
     max_pairs: int = 0,
+    presort_depth: bool = False,
 ) -> TileBins:
     grid_x = -(-img_w // tile)
     grid_y = -(-img_h // tile)
@@ -245,7 +277,7 @@ def bin_gaussians(
 
     (sorted_key, sorted_gid, starts, counts, build_overflow, n_pairs,
      order) = _expand_pairs(means2d, depths, radii, valid, grid_x, grid_y,
-                            tile, max_dup, S)
+                            tile, max_dup, S, presort_depth=presort_depth)
 
     # 4. Ranges, active-tile compaction, then static-K lists for ONLY the
     # active tiles (the reference's grid covers every tile but empty tiles
@@ -312,6 +344,7 @@ def bin_gaussians_ragged(
     max_active_tiles: int = 0,
     max_pairs: int = 0,
     payload=None,
+    presort_depth: bool = False,
 ):
     """Flat chunked binning (see RaggedBins). Each active tile's pair list
     occupies ceil(count/kb) consecutive kb-wide chunks; within-tile pairs
@@ -333,7 +366,8 @@ def bin_gaussians_ragged(
     S_pairs = _resolve_max_pairs(max_pairs, N, max_dup)
 
     res = _expand_pairs(means2d, depths, radii, valid, grid_x, grid_y,
-                        tile, max_dup, S_pairs, payload=payload)
+                        tile, max_dup, S_pairs, payload=payload,
+                        presort_depth=presort_depth)
     (sorted_key, sorted_gid, starts, counts, build_overflow, n_pairs,
      order) = res[:7]
     sorted_payload = res[7] if payload is not None else None

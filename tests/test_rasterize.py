@@ -445,3 +445,46 @@ def test_payload_sort_chunk_data_matches_gather():
     np.testing.assert_allclose(np.asarray(g_p[:, :10]),
                                np.asarray(g_g[:, :10]), atol=1e-4, rtol=1e-5)
     assert np.all(np.asarray(g_p[:, 10:]) == 0.0)
+
+
+def test_raw_order_binning_matches_presorted():
+    """The default no-argsort expansion (raw Gaussian order + (tile, depth)
+    two-key sort) must reproduce the depth-presorted expansion bit-for-bit
+    whenever nothing overflows — same pair lists, same tie-breaks (ties in
+    (tile, depth) resolve to ascending Gaussian index either way)."""
+    from animatablegaussians_tpu.ops.rasterize import binning as B
+
+    rng = np.random.RandomState(3)
+    n = 400
+    means2d = jnp.asarray(rng.uniform(-10, 140, (n, 2)), jnp.float32)
+    # duplicated depths exercise the tie-break path
+    depths = jnp.asarray(
+        rng.choice(np.linspace(0.5, 5.0, 50), n), jnp.float32)
+    radii = jnp.asarray(rng.randint(0, 30, (n,)), jnp.int32)
+    valid = jnp.asarray(rng.rand(n) > 0.2)
+    payload = jnp.asarray(rng.randn(n, 10), jnp.float32)
+
+    kw = dict(img_w=128, img_h=96, tile=16, max_dup=32, max_pairs=8192,
+              max_active_tiles=48)
+    out = {}
+    for presort in (True, False):
+        out[presort] = B.bin_gaussians_ragged(
+            means2d, depths, radii, valid, payload=payload, n_chunks=256,
+            presort_depth=presort, **kw)
+    (ba, pa), (bb, pb) = out[True], out[False]
+    assert int(ba.n_overflow) == 0
+    for f in ("chunk_gid", "chunk_n", "chunk_arow", "chunk_tid",
+              "chunk_first", "tile_ids", "tile_count", "n_overflow",
+              "n_pairs"):
+        np.testing.assert_array_equal(np.asarray(getattr(ba, f)),
+                                      np.asarray(getattr(bb, f)), err_msg=f)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+    ta = B.bin_gaussians(means2d, depths, radii, valid, k_max=256,
+                         presort_depth=True, **kw)
+    tb = B.bin_gaussians(means2d, depths, radii, valid, k_max=256,
+                         presort_depth=False, **kw)
+    for f in ("tile_gid", "tile_count", "tile_ids", "n_overflow",
+              "n_pairs", "pair_slot", "pair_gid"):
+        np.testing.assert_array_equal(np.asarray(getattr(ta, f)),
+                                      np.asarray(getattr(tb, f)), err_msg=f)
