@@ -293,8 +293,15 @@ def compute_losses_batched(avatar_net, params, batch, rngs, iter_idx, *,
                                  lambda: crop(True), lambda: crop(False))
         return terms, crops
 
+    # checkpoint the per-item splat tail: lax.map STACKS each item's saved
+    # bwd residuals, and the full-res (1500, 2048, 3) image intermediates
+    # pad 16x on the 3-channel minor dim in TPU tiled layout — a B=4 stack
+    # of them alone is ~2.3 GB of pure padding (compile-reported). Saving
+    # only the body inputs and recomputing the splat forward in the
+    # backward (~60 ms/item) is what makes B > 1 fit HBM at all.
     terms_b, crops = jax.lax.map(
-        body, (batch, pos_out, other_out, color_out, bg, rng_crop))
+        jax.checkpoint(body), (batch, pos_out, other_out, color_out, bg,
+                               rng_crop))
 
     terms = {k: v.mean() for k, v in terms_b.items()
              if k not in ("n_overflow", "n_pairs")}
