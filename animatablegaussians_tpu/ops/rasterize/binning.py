@@ -25,6 +25,28 @@ import jax
 import jax.numpy as jnp
 
 
+_EXPAND_BACKEND = "xla"  # "auto" | "pallas" | "xla"
+
+
+def set_expand_backend(mode: str):
+    """Pair-expansion backend: "xla" = _segment_owner + packed owner-row
+    gather (per-index bound, ~45 ms at bench scale); "pallas" = sequential
+    streaming expansion kernel (expand_pallas.py) that exploits slot
+    contiguity — no per-pair indexing. "auto" picks pallas on TPU (raw
+    Gaussian order only; the depth-presorted path keeps XLA)."""
+    global _EXPAND_BACKEND
+    assert mode in ("auto", "pallas", "xla"), mode
+    _EXPAND_BACKEND = mode
+
+
+def _use_pallas_expand(presort_depth: bool, n_payload: int) -> bool:
+    if presort_depth or n_payload > 10:
+        return False
+    if _EXPAND_BACKEND == "auto":
+        return jax.default_backend() == "tpu"
+    return _EXPAND_BACKEND == "pallas"
+
+
 class RaggedBins(NamedTuple):
     """Flat chunked pair layout (ragged mode, n_chunks > 0): each tile's
     depth-ordered Gaussian list is padded to a multiple of the blend
@@ -173,6 +195,58 @@ def _expand_pairs(means2d, depths, radii, valid, grid_x: int, grid_y: int,
     offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                             jnp.cumsum(ntiles_c).astype(jnp.int32)])
     total = offs[N]
+
+    if _use_pallas_expand(presort_depth, P):
+        # Streaming Pallas expansion: each Gaussian's pair slots are
+        # CONTIGUOUS, so expansion is sequential VMEM->HBM block writes —
+        # no per-pair gather at all (the XLA route below pays ~35 ns/index
+        # twice: _segment_owner + the packed owner-row gather; see
+        # expand_pallas.py module doc).
+        from .expand_pallas import expand_pairs_pallas, LANES as _EL
+        bn = 512 if N >= 512 else max(8, ((N + 7) // 8) * 8)
+        n_pad = -(-N // bn) * bn
+        s8 = ((S + 7) // 8) * 8
+        pk = jnp.zeros((n_pad, _EL), jnp.int32)
+        pk = pk.at[:N, 0].set(rx0).at[:N, 1].set(ry0)
+        pk = pk.at[:, 2].set(1).at[:N, 2].set(jnp.maximum(width, 1))
+        pk = pk.at[:N, 3].set(ntiles_c)
+        pk = pk.at[:N, 4].set(
+            jax.lax.bitcast_convert_type(depth_f, jnp.int32))
+        if P:
+            pk = pk.at[:N, 5:5 + P].set(
+                jax.lax.bitcast_convert_type(pay, jnp.int32))
+        offs_pad = jnp.concatenate(
+            [offs, jnp.full((n_pad - N,), total, jnp.int32)])
+        pk = pk.at[:, _EL - 1].set(offs_pad[:n_pad])
+        out, valid_n = expand_pairs_pallas(
+            pk, offs_pad, grid_x=grid_x, grid_y=grid_y,
+            max_dup=max_dup, n_slots=s8, bn=bn,
+            interpret=jax.default_backend() != "tpu")
+        out = out[:S]
+        s_idx = jnp.arange(S, dtype=jnp.int32)
+        tail = s_idx >= valid_n                       # stale garbage rows
+        key = jnp.where(tail, T, out[:, 0])
+        slot_depth = jnp.where(
+            tail, jnp.inf,
+            jax.lax.bitcast_convert_type(out[:, 1], jnp.float32))
+        gid = jnp.where(tail, N, out[:, 2])
+        slot_payload = jax.lax.bitcast_convert_type(
+            out[:, 3:3 + P], jnp.float32) if P else out[:, 3:3]
+        ops = (key, slot_depth, gid) + tuple(slot_payload[:, i]
+                                             for i in range(P))
+        res = jax.lax.sort(ops, num_keys=2, is_stable=True)
+        sorted_key, sorted_gid = res[0], res[2]
+        starts = jnp.searchsorted(
+            sorted_key, jnp.arange(T + 1, dtype=jnp.int32),
+            side="left").astype(jnp.int32)
+        counts = starts[1:] - starts[:-1]
+        pair_overflow = jnp.maximum(total - S, 0)
+        out_t = (sorted_key, sorted_gid, starts, counts,
+                 rect_overflow + pair_overflow, jnp.sum(ntiles), order)
+        if P:
+            out_t += (jnp.stack(res[3:], axis=1),)
+        return out_t
+
     s_idx = jnp.arange(S, dtype=jnp.int32)
     g = _segment_owner(offs, N, S)                             # (S,)
     g_c = jnp.clip(g, 0, N - 1)

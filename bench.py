@@ -78,6 +78,11 @@ def _setup():
     su.set_conv_precision("bf16" if "--bf16" in sys.argv else "default")
     if "--mmgrad" in sys.argv:
         su.set_conv_mmgrad(True)
+    # --pexpand: streaming Pallas pair expansion instead of the XLA
+    # owner-gather (binning.set_expand_backend; ablation in BASELINE.md)
+    if "--pexpand" in sys.argv:
+        from animatablegaussians_tpu.ops.rasterize import binning as _B
+        _B.set_expand_backend("pallas")
 
     import __graft_entry__ as ge
     from animatablegaussians_tpu.ops.rasterize import autosize as az

@@ -39,7 +39,9 @@ def main():
     valid = jnp.asarray(rng.random(N) > 0.02)
     payload = jnp.asarray(rng.standard_normal((N, 10)), jnp.float32)
 
-    for presort in (False, True):
+    for backend, presort in (("xla", False), ("xla", True),
+                             ("pallas", False)):
+        B.set_expand_backend(backend)
         fn = jax.jit(lambda m, d, r, v, p, ps=presort: B.bin_gaussians_ragged(
             m, d, r, v, IMG_W, IMG_H, max_dup=32, n_chunks=N_CHUNKS,
             max_active_tiles=A, max_pairs=MAX_PAIRS, payload=p,
@@ -53,9 +55,10 @@ def main():
             out = fn(means2d, depths, radii, valid, payload)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters * 1e3
-        print(f"presort_depth={presort}: {dt:7.2f} ms  "
+        print(f"expand={backend} presort_depth={presort}: {dt:7.2f} ms  "
               f"(n_pairs={int(bins.n_pairs)}, "
               f"n_overflow={int(bins.n_overflow)})")
+    B.set_expand_backend("xla")
 
 
 if __name__ == "__main__":

@@ -488,3 +488,39 @@ def test_raw_order_binning_matches_presorted():
               "n_pairs", "pair_slot", "pair_gid"):
         np.testing.assert_array_equal(np.asarray(getattr(ta, f)),
                                       np.asarray(getattr(tb, f)), err_msg=f)
+
+
+def test_pallas_expand_matches_xla():
+    """The streaming Pallas pair-expansion (expand_pallas.py: contiguous
+    per-Gaussian window writes, 8-aligned blocks, sentinel gap rows) must
+    reproduce the XLA _segment_owner + owner-gather expansion bit-for-bit
+    after the (tile, depth) sort — same chunk layout, payload, counts."""
+    from animatablegaussians_tpu.ops.rasterize import binning as B
+
+    rng = np.random.RandomState(7)
+    n = 600
+    means2d = jnp.asarray(rng.uniform(-10, 140, (n, 2)), jnp.float32)
+    depths = jnp.asarray(
+        rng.choice(np.linspace(0.5, 5.0, 40), n), jnp.float32)
+    radii = jnp.asarray(rng.randint(0, 30, (n,)), jnp.int32)
+    valid = jnp.asarray(rng.rand(n) > 0.2)
+    payload = jnp.asarray(rng.randn(n, 10), jnp.float32)
+
+    kw = dict(img_w=128, img_h=96, tile=16, max_dup=32, max_pairs=8192,
+              max_active_tiles=48, n_chunks=256, payload=payload)
+    out = {}
+    for mode in ("xla", "pallas"):
+        B.set_expand_backend(mode)
+        try:
+            out[mode] = B.bin_gaussians_ragged(
+                means2d, depths, radii, valid, **kw)
+        finally:
+            B.set_expand_backend("auto")
+    (ba, pa), (bb, pb) = out["xla"], out["pallas"]
+    assert int(ba.n_overflow) == 0
+    for f in ("chunk_gid", "chunk_n", "chunk_arow", "chunk_tid",
+              "chunk_first", "tile_ids", "tile_count", "n_overflow",
+              "n_pairs"):
+        np.testing.assert_array_equal(np.asarray(getattr(ba, f)),
+                                      np.asarray(getattr(bb, f)), err_msg=f)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
