@@ -116,12 +116,44 @@ def main() -> int:
                               ("means", "scales", "quats", "opac", "colors")):
             check(f"bwd/{tag}/{name}", a, b, atol=1e-4, rtol=1e-3)
 
+    # pair expansion: the streaming Pallas kernel's correctness rests on
+    # Mosaic's sequential-grid write-back ordering (overlapping output
+    # windows, see ops/rasterize/expand_pallas.py) — interpret-mode CI only
+    # simulates that; this checks the native lowering bit-for-bit.
+    from animatablegaussians_tpu.ops.rasterize import binning as B
+    rng = np.random.default_rng(3)
+    n = 600
+    means2d = jnp.asarray(rng.uniform(-10, 140, (n, 2)), jnp.float32)
+    depths = jnp.asarray(rng.choice(np.linspace(0.5, 5.0, 40), n),
+                         jnp.float32)
+    radii = jnp.asarray(rng.integers(0, 30, (n,)), jnp.int32)
+    valid = jnp.asarray(rng.random(n) > 0.2)
+    payload = jnp.asarray(rng.standard_normal((n, 10)), jnp.float32)
+    kw = dict(img_w=128, img_h=96, tile=16, max_dup=32, max_pairs=8192,
+              max_active_tiles=48, n_chunks=256, payload=payload)
+    out = {}
+    for mode in ("xla", "pallas"):
+        B.set_expand_backend(mode)
+        try:
+            out[mode] = B.bin_gaussians_ragged(
+                means2d, depths, radii, valid, **kw)
+        finally:
+            B.set_expand_backend("xla")
+    (ba, pa), (bb, pb) = out["xla"], out["pallas"]
+    if int(ba.n_overflow) != 0:
+        failures.append(f"expand: fixture overflowed ({int(ba.n_overflow)})")
+    for f in ("chunk_gid", "chunk_n", "chunk_arow", "chunk_tid",
+              "chunk_first", "tile_ids", "tile_count", "n_overflow",
+              "n_pairs"):
+        check(f"expand/pallas/{f}", getattr(bb, f), getattr(ba, f), atol=0)
+    check("expand/pallas/payload", pb, pa, atol=0)
+
     if failures:
         print("verify_tpu: FAILED\n  " + "\n  ".join(failures),
               file=sys.stderr)
         return 1
-    print("verify_tpu: PASS (pallas == reference blend, fwd+bwd, "
-          "rect+ragged)", file=sys.stderr)
+    print("verify_tpu: PASS (pallas == reference blend fwd+bwd rect+ragged, "
+          "+ streaming pair expansion)", file=sys.stderr)
     return 0
 
 
