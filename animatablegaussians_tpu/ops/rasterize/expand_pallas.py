@@ -145,7 +145,12 @@ def expand_pairs_pallas(pk: jnp.ndarray, offs: jnp.ndarray, *, grid_x: int,
             in_specs=[pl.BlockSpec((bn, LANES), lambda b, starts: (b, 0))],
             out_specs=pl.BlockSpec(
                 (pl.Element(w_out), LANES),
-                lambda b, starts: (starts[b], 0)),
+                # starts[] entries are 8-aligned by construction (len8
+                # cumsum, n_slots % 8 == 0) but Mosaic's divisibility
+                # prover cannot see through a prefetched scalar — assert
+                # the alignment explicitly or native lowering fails with
+                # "couldn't prove that tiling (8) divides index".
+                lambda b, starts: (pl.multiple_of(starts[b], 8), 0)),
             scratch_shapes=[pltpu.VMEM((bn * max_dup, LANES), jnp.int32),
                             pltpu.VMEM((bn, 1), jnp.int32)],
         ),
