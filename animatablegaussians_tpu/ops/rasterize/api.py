@@ -179,6 +179,16 @@ def _splat_chunks_impl(rows, radii, valid, img_w, img_h, config):
         max_active_tiles=config.max_active_tiles,
         max_pairs=config.max_pairs,
         payload=rows[:, :_N_LIVE_CH])
+    # Tag the binning products for selective rematerialization: under
+    # jax.checkpoint(..., policy=save_only_these_names("binned")) the
+    # backward recompute restarts FROM these arrays instead of re-running
+    # the pair expansion + 1.6M-slot tile sort (~50-60 ms at bench scale;
+    # the arrays are ~185 MB at bench caps — the full-res image stack a
+    # plain checkpoint avoids stays unsaved either way). Used by the
+    # batched train step (training/avatar_trainer.compute_losses_batched).
+    from jax.ad_checkpoint import checkpoint_name
+    chunk_data = checkpoint_name(chunk_data, "binned")
+    bins = type(bins)(*(checkpoint_name(b, "binned") for b in bins))
     return chunk_data, bins
 
 

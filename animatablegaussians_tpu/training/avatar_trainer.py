@@ -298,10 +298,17 @@ def compute_losses_batched(avatar_net, params, batch, rngs, iter_idx, *,
     # pad 16x on the 3-channel minor dim in TPU tiled layout — a B=4 stack
     # of them alone is ~2.3 GB of pure padding (compile-reported). Saving
     # only the body inputs and recomputing the splat forward in the
-    # backward (~60 ms/item) is what makes B > 1 fit HBM at all.
+    # backward (~60 ms/item) is what makes B > 1 fit HBM at all. The
+    # "binned" save-list keeps the binning products (chunk data + chunk
+    # bookkeeping, ~185 MB/item at bench caps — tagged in
+    # ops/rasterize/api._splat_chunks_impl) so the recompute re-runs only
+    # the cheap preprocess/skin/blend tail, not the pair expansion +
+    # 1.6M-slot tile sort that dominates the splat forward.
     terms_b, crops = jax.lax.map(
-        jax.checkpoint(body), (batch, pos_out, other_out, color_out, bg,
-                               rng_crop))
+        jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names("binned")),
+        (batch, pos_out, other_out, color_out, bg, rng_crop))
 
     terms = {k: v.mean() for k, v in terms_b.items()
              if k not in ("n_overflow", "n_pairs")}
